@@ -1,0 +1,175 @@
+"""Deterministic synthetic web_pages generator (seed-fixed, no Spark needed).
+
+Produces the BASELINE input_hint table
+    (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+with the failure modes the pipeline must handle baked in:
+
+- exact-duplicate entity surface forms (case variants)        -> D1 path
+- fuzzy variants with identical fuzzy-normalized form
+  (hyphen/ampersand punctuation)                              -> D4-D9 path
+- near-miss names that must NOT merge (Jaccard < 0.9)         -> D9 negative
+- low-entropy names that only exact-match                     -> D3 gate
+- a hub organization present in ~20% of sentences             -> skew (D15/T4)
+- re-crawled urls at later warc_ts with changed facts         -> T6 invalidation
+- explicit in-text ISO dates ("since 2024-03-15")             -> E3 date rules
+- a sprinkle of non-en rows                                   -> lang filter
+
+html is a deterministic template around text (extraction.render_html), so the
+html->text UDF has a byte-identical target per url.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+from graphiti_spark.extraction import render_html
+
+PERSONS = [
+    "Alice Johnson", "Bob Dylan", "Bob Dyllan", "Carol Mendez", "David Okafor",
+    "Emma Larsen", "Frank Moreau", "Grace Kim", "Hiro Tanaka", "Isabel Costa",
+    "Jack Nguyen", "Karen Steel", "Liam Walsh", "Maria Petrova", "Noah Berg",
+    "Olga Ivanova", "Paul Santos", "Quinn Harper", "Rosa Diaz", "Sam Patel",
+    "Tara Singh", "Uma Rao", "Victor Hugo", "Wendy Zhao", "Xavier Leroy",
+    "Yara Haddad", "Zoe Martin", "Bo Bo", "Al Jo",
+]
+
+# Each org is a list of surface variants: index 0 is canonical; the rest are
+# exact-dup (case) or fuzzy-dup (punctuation) variants that the dedup stages
+# must collapse.
+ORGS = [
+    ["Acme Corp", "ACME Corp", "Acme-Corp"],          # the hub entity (skew)
+    ["Globex Inc", "Globex-Inc"],
+    ["Initech Systems", "INITECH Systems"],
+    ["Umbrella Labs", "Umbrella-Labs"],
+    ["Stark Technologies"],
+    ["Wayne Holdings", "Wayne-Holdings"],
+    ["Hooli Inc"],
+    ["Pied Piper Company"],
+    ["Johnson & Sons Company", "Johnson Sons Company"],
+    ["Vandelay Industries Group"],
+    ["Oscorp Labs"],
+    ["Tyrell Corporation"],
+]
+
+PLACES = [
+    "Springfield", "Shelbyville", "Lakeview City", "Crystal Bay", "Iron Valley",
+    "Maple County", "Cedar Springs", "Porttown", "Stone Island", "Sunny Park",
+]
+
+_TEMPLATES = [
+    ("{p} works at {o}.", None),
+    ("{p} works at {o} since {d}.", "since"),
+    ("{p2} worked at {o} until {d}.", "until"),
+    ("{p} is the ceo of {o}.", None),
+    ("{p} moved to {l} on {d}.", "on"),
+    ("{p} lives in {l}.", None),
+    ("{o} acquired {o2} on {d}.", "on"),
+    ("{o} is based in {l}.", None),
+    ("{p} studied at {o}.", None),
+    ("{p} married {p2} on {d}.", "on"),
+    ("{p} visited {l}.", None),
+    ("{o} partnered with {o2}.", None),
+    ("{p} invested in {o}.", None),
+    ("{p} met {p2} in {l}.", None),
+    ("{p} was born in {l}.", None),
+]
+
+_FILLER = [
+    "The quarterly report was published without further comment.",
+    "Weather in the region stayed mild through the season.",
+    "Local markets saw modest gains across the board.",
+    "A new bridge opened after years of construction delays.",
+]
+
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _pick_org(rng: random.Random) -> str:
+    # ~20% of org references hit the hub entity (variant-weighted) for skew.
+    if rng.random() < 0.2:
+        return rng.choice(ORGS[0])
+    grp = rng.choice(ORGS[1:])
+    return rng.choice(grp)
+
+
+def _sentence(rng: random.Random) -> str:
+    tpl, _kind = rng.choice(_TEMPLATES)
+    d = f"2024-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+    p = rng.choice(PERSONS)
+    p2 = rng.choice([x for x in PERSONS if x != p])
+    return tpl.format(
+        p=p, p2=p2, o=_pick_org(rng), o2=_pick_org(rng), l=rng.choice(PLACES), d=d
+    )
+
+
+def generate_web_pages(
+    n_pages: int = 200,
+    seed: int = 42,
+    n_groups: int = 4,
+    n_hosts: int = 8,
+    recrawl_fraction: float = 0.15,
+    nonen_fraction: float = 0.04,
+) -> list[dict]:
+    """Return web_pages rows as dicts; fully determined by (n_pages, seed)."""
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    for i in range(n_pages):
+        group = f"g{i % n_groups}"
+        host = f"site{i % n_hosts}"
+        url = f"https://{host}.example/{group}/page{i}"
+        warc_ts = EPOCH + timedelta(hours=i)
+        n_sent = rng.randint(3, 8)
+        sents = [_sentence(rng) for _ in range(n_sent)]
+        if rng.random() < 0.3:
+            sents.insert(rng.randrange(len(sents) + 1), rng.choice(_FILLER))
+        # two paragraphs so html round-trip exercises the join
+        mid = max(1, len(sents) // 2)
+        text = " ".join(sents[:mid]) + "\n\n" + " ".join(sents[mid:])
+        lang = "de" if rng.random() < nonen_fraction else "en"
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": warc_ts,
+                "html": render_html(text, title=f"{host} {group} {i}"),
+                "text": text,
+                "lang": lang,
+            }
+        )
+        # re-crawl: same url, later snapshot, one changed employment fact ->
+        # exercises temporal contradiction invalidation (T6)
+        if rng.random() < recrawl_fraction:
+            p = rng.choice(PERSONS)
+            old_org = _pick_org(rng)
+            new_org = _pick_org(rng)
+            if old_org != new_org:
+                t2 = text + f" {p} works at {new_org}."
+                rows.append(
+                    {
+                        "url": url,
+                        "warc_ts": warc_ts + timedelta(days=30),
+                        "html": render_html(t2, title=f"{host} {group} {i}"),
+                        "text": t2,
+                        "lang": lang,
+                    }
+                )
+    return rows
+
+
+def write_web_pages_parquet(path: str, n_pages: int = 200, seed: int = 42) -> int:
+    """Materialize the generator to a parquet file via pyarrow (no Spark)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = generate_web_pages(n_pages=n_pages, seed=seed)
+    table = pa.table(
+        {
+            "url": [r["url"] for r in rows],
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], type=pa.timestamp("us", tz="UTC")),
+            "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+            "text": [r["text"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+        }
+    )
+    pq.write_table(table, path)
+    return len(rows)
