@@ -1,0 +1,153 @@
+"""Vectorized Arrow/pandas UDFs — the ONLY Python that runs on executors.
+
+Per the BASELINE input_hint there is no per-row Python UDF anywhere in this
+engine: extraction fan-out uses mapInPandas (one Arrow batch in, one
+exploded Arrow batch out — no array<struct> intermediary, no shuffle), and
+per-name dedup features use a scalar pandas UDF returning a struct.
+
+All semantic logic lives in graphiti_spark.kernels / .extraction (pure
+Python, shared with the oracle); these wrappers only batch it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, StringType
+
+from graphiti_spark import kernels as K
+from graphiti_spark import schemas
+from graphiti_spark.extraction import (
+    EMBEDDING_DIM,
+    embed_text,
+    extract_mentions,
+    extract_triples,
+    html_to_text,
+)
+
+# ---------------------------------------------------------------------------
+# html -> text (scalar pandas UDF; byte-identical per url)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(StringType())
+def html_to_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: html_to_text(b) if b is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# E1/E3 — extraction fan-out via mapInPandas
+# expected input columns: episode_uuid, group_id, ep_valid_at, content
+# ---------------------------------------------------------------------------
+
+
+def mentions_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("episode_uuid", "group_id", "ep_valid_at", "name", "entity_type", "mention_idx")}
+        for ep_uuid, group, ts, content in zip(
+            pdf["episode_uuid"], pdf["group_id"], pdf["ep_valid_at"], pdf["content"]
+        ):
+            for idx, m in enumerate(extract_mentions(content or "")):
+                out["episode_uuid"].append(ep_uuid)
+                out["group_id"].append(group)
+                out["ep_valid_at"].append(ts)
+                out["name"].append(m["name"])
+                out["entity_type"].append(m["entity_type"])
+                out["mention_idx"].append(idx)
+        yield pd.DataFrame(out)
+
+
+def triples_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            k: []
+            for k in (
+                "episode_uuid", "group_id", "ep_valid_at", "subject",
+                "predicate", "object", "fact", "valid_at", "invalid_at",
+                "triple_idx",
+            )
+        }
+        for ep_uuid, group, ts, content in zip(
+            pdf["episode_uuid"], pdf["group_id"], pdf["ep_valid_at"], pdf["content"]
+        ):
+            ref_time = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            for t_idx, t in enumerate(extract_triples(content or "", ref_time)):
+                out["episode_uuid"].append(ep_uuid)
+                out["group_id"].append(group)
+                out["ep_valid_at"].append(ts)
+                out["subject"].append(t["subject"])
+                out["predicate"].append(t["predicate"])
+                out["object"].append(t["object"])
+                out["fact"].append(t["fact"])
+                out["valid_at"].append(t["valid_at"])
+                out["invalid_at"].append(t["invalid_at"])
+                out["triple_idx"].append(t_idx)
+        pdf_out = pd.DataFrame(out)
+        # arrow needs consistent dtypes for all-None timestamp columns
+        for c in ("valid_at", "invalid_at"):
+            pdf_out[c] = pd.to_datetime(pdf_out[c], utc=True)
+        yield pdf_out
+
+
+def extract_mentions_df(episodes_df):
+    """episodes(episode_uuid, group_id, ep_valid_at, content) -> RAW_MENTIONS."""
+    cols = ["episode_uuid", "group_id", "ep_valid_at", "content"]
+    return episodes_df.select(*cols).mapInPandas(mentions_map, schema=schemas.RAW_MENTIONS)
+
+
+def extract_triples_df(episodes_df):
+    cols = ["episode_uuid", "group_id", "ep_valid_at", "content"]
+    return episodes_df.select(*cols).mapInPandas(triples_map, schema=schemas.RAW_TRIPLES)
+
+
+# ---------------------------------------------------------------------------
+# D3-D6 — per-name dedup features (entropy gate, shingles, LSH band keys)
+# input: fuzzy-normalized name (normalize happens JVM-side, see normalize_*)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(schemas.NAME_FEATURES)
+def name_features_udf(fuzzy_name: pd.Series) -> pd.DataFrame:
+    highs, shingle_lists, band_lists = [], [], []
+    for nf in fuzzy_name:
+        nf = nf or ""
+        high = K.has_high_entropy(nf)
+        highs.append(high)
+        if high:
+            # normalize_fuzzy is idempotent, so band_keys(nf) == band_keys(raw)
+            shingle_lists.append(sorted(K.cached_shingles(nf)))
+            band_lists.append(K.band_keys(nf))
+        else:
+            shingle_lists.append([])
+            band_lists.append([])
+    return pd.DataFrame(
+        {"is_high_entropy": highs, "shingles": shingle_lists, "band_keys": band_lists}
+    )
+
+
+# ---------------------------------------------------------------------------
+# E7 — deterministic feature-hash embeddings
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(ArrayType(FloatType()))
+def embed_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: embed_text(t or "", EMBEDDING_DIM))
+
+
+# ---------------------------------------------------------------------------
+# JVM-side normalization columns (D1/D2 — no Python in this path)
+# ---------------------------------------------------------------------------
+
+
+def normalize_exact_col(col):
+    """lower + collapse whitespace + trim == kernels.normalize_exact."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def normalize_fuzzy_col(col):
+    """keep [a-z0-9' ] of the exact form, re-collapse == kernels.normalize_fuzzy."""
+    cleaned = F.regexp_replace(normalize_exact_col(col), r"[^a-z0-9' ]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))

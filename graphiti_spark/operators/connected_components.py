@@ -1,0 +1,85 @@
+"""D13/D14 — distributed union-find as iterative DataFrame connected
+components.
+
+The reference collapses duplicate-pair chains with an in-memory union-find
+(/root/reference/graphiti_core/utils/bulk_utils.py:72-101 directed,
+:513-550 undirected with lexicographically-smallest canonical). At cluster
+scale the pair list doesn't fit one process, so we run min-label
+propagation to a fixpoint: every vertex repeatedly adopts the minimum label
+over its closed neighborhood. At the fixpoint, for every edge (u,v) both
+label(u) <= label(v) and label(v) <= label(u) hold, so all labels in a
+component are equal — necessarily the component's minimum vertex id.
+
+Converges in O(diameter) rounds; dedup components are name-variant clusters
+with tiny diameters, so 3-5 rounds is typical. Each round localCheckpoints
+to truncate lineage (SURVEY.md §4.2).
+
+Output contract matches `compress_uuid_map`: every vertex that appears in
+any pair maps to the lexicographically smallest vertex of its component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ROUNDS = 25
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """pairs(a string, b string) -> (id string, canonical string).
+
+    Undirected; canonical = min member (ref UnionFind ordering rule).
+    Only ids that occur in `pairs` appear in the output, matching
+    `compress_uuid_map` (bulk_utils.py:541-550).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # seed: min over closed neighborhood
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("nbr_min"))
+        .select(F.col("u").alias("id"), F.least(F.col("u"), F.col("nbr_min")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "v"), on="v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("u").alias("id"), "nbr_label")
+        )
+        # pointer jumping: label(label(u)) — makes convergence O(log n)
+        # instead of O(diameter) on long chains
+        jump = labels.select(F.col("id").alias("label"), F.col("label").alias("jump_label"))
+        new_labels = (
+            labels.join(nbr, on="id", how="left")
+            .join(jump, on="label", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                    F.coalesce(F.col("jump_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("canonical"))
+
+    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")

@@ -1,0 +1,178 @@
+"""D1-D14 — global entity resolution / canonicalization.
+
+The reference resolves extracted nodes per episode against an in-memory
+candidate index (exact normalized name -> else MinHash-LSH -> best Jaccard
+>= 0.9; /root/reference/graphiti_core/utils/maintenance/
+dedup_helpers.py:198-246) and collapses the resulting alias pairs with a
+union-find (utils/bulk_utils.py:301-413). Episode-at-a-time indexing doesn't
+distribute; the set-oriented equivalent is:
+
+1. exact dedup is FREE: the pre-canonical node id is a content hash of
+   (group_id, exact-normalized name), so equal names collide by construction
+   — no join, no shuffle (D1, D8's exact index).
+2. fuzzy dedup pairs only DISTINCT high-entropy names per group: shingles +
+   minhash + LSH band keys via one vectorized pandas UDF, posexplode of the
+   8 band keys, self-join on (group_id, band_pos, band_key) — the LSH
+   shuffle (D4-D6) — then native array_intersect/array_union Jaccard >= 0.9
+   (D7, D9).
+3. connected components with min-id canonical (D13/D14).
+
+Scale notes: the fuzzy stage's input is |distinct names per group|, orders
+of magnitude below |mentions|. Band-key hot buckets (e.g. thousands of
+near-identical product names) are bounded by LSH_BUCKET_CAP: buckets larger
+than the cap are dropped, mirroring how LSH blocking is deliberately
+approximate; AQE skew-join splitting covers moderate skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions.udfs import (
+    name_features_udf,
+    normalize_exact_col,
+    normalize_fuzzy_col,
+)
+from graphiti_spark.kernels import JACCARD_THRESHOLD
+from graphiti_spark.operators.connected_components import connected_components
+
+LSH_BUCKET_CAP = 64  # max names sharing one (group, band) bucket before we skip it
+
+
+def det_id_col(*cols):
+    """JVM-side twin of extraction.det_id: sha1 of \\x1f-joined parts."""
+    return F.sha1(F.concat_ws("\x1f", *cols))
+
+
+def name_keys(raw_mentions: DataFrame) -> DataFrame:
+    """Distinct (group_id, norm_exact) keys with their pre-canonical ids and
+    a deterministic display name (min surface form)."""
+    return (
+        raw_mentions.select(
+            "group_id",
+            "name",
+            "entity_type",
+            normalize_exact_col(F.col("name")).alias("norm_exact"),
+        )
+        .groupBy("group_id", "norm_exact")
+        .agg(
+            F.min("name").alias("name"),
+            F.sort_array(F.collect_set("entity_type")).alias("entity_types"),
+        )
+        .withColumn("pre_id", det_id_col(F.lit("node"), F.col("group_id"), F.col("norm_exact")))
+    )
+
+
+def fuzzy_duplicate_pairs(keys: DataFrame) -> DataFrame:
+    """LSH band join + Jaccard >= 0.9 over high-entropy distinct names.
+    Returns pairs(a, b) of pre_ids (a < b), within the same group only."""
+    feat = (
+        keys.withColumn("norm_fuzzy", normalize_fuzzy_col(F.col("name")))
+        .withColumn("f", name_features_udf(F.col("norm_fuzzy")))
+        .filter(F.col("f.is_high_entropy"))
+        .select(
+            "group_id",
+            "pre_id",
+            F.col("f.shingles").alias("shingles"),
+            F.col("f.band_keys").alias("band_keys"),
+        )
+    )
+    banded = feat.select(
+        "group_id",
+        "pre_id",
+        "shingles",
+        F.posexplode("band_keys").alias("band_pos", "band_key"),
+    )
+    # cap pathological buckets (hub-name skew guard)
+    bucket_sizes = banded.groupBy("group_id", "band_pos", "band_key").count()
+    banded = banded.join(
+        bucket_sizes.filter(F.col("count") <= LSH_BUCKET_CAP).drop("count"),
+        on=["group_id", "band_pos", "band_key"],
+    )
+    a = banded.select(
+        "group_id",
+        "band_pos",
+        "band_key",
+        F.col("pre_id").alias("a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = banded.select(
+        "group_id",
+        "band_pos",
+        "band_key",
+        F.col("pre_id").alias("b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    pairs = (
+        a.join(b, on=["group_id", "band_pos", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jacc = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return pairs.withColumn("jaccard", jacc).filter(
+        F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)
+    ).select("a", "b")
+
+
+def resolve_names(raw_mentions: DataFrame) -> DataFrame:
+    """Global canonicalization map: one row per distinct (group_id, name key).
+
+    Returns name_resolution(group_id, norm_exact, name, entity_types,
+    canonical_id) — the D15 pointer-rewrite map.
+    """
+    keys = name_keys(raw_mentions)
+    pairs = fuzzy_duplicate_pairs(keys)
+    canon = connected_components(pairs)  # (id, canonical) for paired ids only
+
+    return keys.join(canon, keys.pre_id == canon.id, how="left").select(
+        "group_id",
+        "norm_exact",
+        "name",
+        "entity_types",
+        F.coalesce(F.col("canonical"), F.col("pre_id")).alias("canonical_id"),
+    )
+
+
+def build_canonical_nodes(resolution: DataFrame, raw_mentions: DataFrame) -> DataFrame:
+    """canonical_nodes(uuid, name, group_id, labels, created_at, norm_name,
+    aliases, summary, attributes) — one row per canonical entity; norm_name
+    is the min normalized alias (component-stable identity for P/R scoring);
+    created_at = first mention time (deterministic replacement of utc_now)."""
+    first_seen = (
+        raw_mentions.select(
+            "group_id",
+            normalize_exact_col(F.col("name")).alias("norm_exact"),
+            "ep_valid_at",
+        )
+        .groupBy("group_id", "norm_exact")
+        .agg(F.min("ep_valid_at").alias("first_seen_at"))
+    )
+
+    return (
+        resolution.join(first_seen, on=["group_id", "norm_exact"])
+        .groupBy(F.col("canonical_id").alias("uuid"), "group_id")
+        .agg(
+            F.min(F.struct("norm_exact", "name")).alias("best"),
+            F.min("norm_exact").alias("norm_name"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("entity_types")))).alias(
+                "types"
+            ),
+            F.min("first_seen_at").alias("created_at"),
+            F.sort_array(F.collect_set("norm_exact")).alias("aliases"),
+        )
+        .select(
+            "uuid",
+            F.col("best.name").alias("name"),
+            "group_id",
+            F.concat(F.array(F.lit("Entity")), F.col("types")).alias("labels"),
+            "created_at",
+            "norm_name",
+            "aliases",
+            F.lit(None).cast("string").alias("summary"),
+            F.create_map().cast("map<string,string>").alias("attributes"),
+        )
+    )

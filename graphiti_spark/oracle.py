@@ -63,6 +63,12 @@ def _resolve_mention(g: OracleGraph, group: str, name: str) -> str:
     if len(hits) >= 1:
         return hits[0]
 
+    def _absorb(canonical: str) -> str:
+        # record the alias form and index it so future exact hits resolve too
+        g.nodes[canonical]["aliases"].add(norm)
+        g.by_exact[(group, norm)].append(canonical)
+        return canonical
+
     if K.has_high_entropy(fuzzy):
         sh = K.cached_shingles(fuzzy)
         cand_ids: set[str] = set()
@@ -74,11 +80,11 @@ def _resolve_mention(g: OracleGraph, group: str, name: str) -> str:
             if score > best_score:
                 best, best_score = cid, score
         if best is not None and best_score >= K.JACCARD_THRESHOLD:
-            return best
+            return _absorb(best)
 
     # new canonical node
     uid = det_id("node", group, norm)
-    g.nodes[uid] = {"uuid": uid, "name": name, "group_id": group}
+    g.nodes[uid] = {"uuid": uid, "name": name, "group_id": group, "aliases": {norm}}
     g.by_exact[(group, norm)].append(uid)
     g.shingles[uid] = K.cached_shingles(fuzzy)
     for bk in K.band_keys(name):
@@ -120,6 +126,10 @@ def ingest_episodes(episodes: list[dict], now: datetime) -> OracleGraph:
                 valid_at=t["valid_at"],
                 invalid_at=t["invalid_at"],
             )
+            if edge.invalid_at is not None:
+                # ref edge_operations.py:581-583: invalid_at set and no
+                # expiry yet -> expire now
+                edge.expired_at = now
 
             # invalidation candidates: same (group, src, predicate), other object
             # (deterministic replacement of the reference's LLM contradiction
@@ -159,16 +169,18 @@ def ingest_episodes(episodes: list[dict], now: datetime) -> OracleGraph:
 
 
 def triple_set(g: OracleGraph) -> set[tuple]:
-    """Comparable triple identity: (group, subj canonical normalized name,
-    predicate, obj canonical normalized name, fact normalized)."""
+    """Comparable triple identity: (group, subj canonical name, predicate,
+    obj canonical name, fact normalized). Canonical name = lexicographic min
+    over the component's alias set, so the identity is independent of which
+    member a pipeline picks as representative."""
     out = set()
     for e in g.edges.values():
         out.add(
             (
                 e.group_id,
-                K.normalize_exact(g.nodes[e.src]["name"]),
+                min(g.nodes[e.src]["aliases"]),
                 e.predicate,
-                K.normalize_exact(g.nodes[e.dst]["name"]),
+                min(g.nodes[e.dst]["aliases"]),
                 K.normalize_exact(e.fact),
             )
         )

@@ -1,0 +1,178 @@
+"""The end-to-end KG-construction pipeline (S2/add_episode_bulk re-expressed).
+
+One Spark job reproduces the reference's 12-step bulk chain
+(/root/reference/graphiti_core/graphiti.py:584-870, traced in SURVEY.md
+§3.2) as declarative DataFrame stages:
+
+    web_pages ─ S3 ─> episodes ─ E1 ─> raw mentions ──> D1-D14 canonicalize
+                         │                                  │
+                         └─ E3 ─> raw triples ─ D15 ──> T1/T2 dedup
+                                                          │
+                                          T6/T7 invalidation ─> edges
+    nodes + mentions + edges ─ S6 ─> materialized tables (+ manifests)
+
+Stage boundaries checkpoint to parquet with lineage manifests so any stage
+resumes idempotently (lineage.StageRunner).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions.udfs import (
+    embed_udf,
+    extract_mentions_df,
+    extract_triples_df,
+    html_to_text_udf,
+    normalize_exact_col,
+)
+from graphiti_spark.lineage import StageRunner
+from graphiti_spark.operators.edge_ops import (
+    dedup_edges,
+    invalidate_contradictions,
+    rewrite_pointers,
+)
+from graphiti_spark.operators.node_dedup import (
+    build_canonical_nodes,
+    det_id_col,
+    resolve_names,
+)
+
+
+def pages_to_episodes(pages: DataFrame, group_col=None, lang: str | None = "en") -> DataFrame:
+    """S3: RawEpisode contract from web pages. Text comes from the html->text
+    UDF (byte-identical per url); the input text column, when present, is
+    only a cross-check. group_id defaults to the url host."""
+    if group_col is None:
+        group_col = F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1)
+    df = pages
+    if lang is not None and "lang" in pages.columns:
+        df = df.filter(F.col("lang") == lang)
+    content = (
+        F.when(F.col("html").isNotNull(), html_to_text_udf(F.col("html")))
+        .otherwise(F.col("text"))
+        if "html" in df.columns
+        else F.col("text")
+    )
+    return df.select(
+        det_id_col(F.lit("ep"), F.col("url"), F.col("warc_ts").cast("string")).alias(
+            "episode_uuid"
+        ),
+        F.col("url").alias("name"),
+        group_col.alias("group_id"),
+        F.lit("text").alias("source"),
+        F.lit("web crawl").alias("source_description"),
+        content.alias("content"),
+        F.col("warc_ts").alias("ep_valid_at"),
+    )
+
+
+def build_mentions_table(raw_mentions: DataFrame, name_resolution: DataFrame) -> DataFrame:
+    """G1: MENTIONS provenance edges episode -> canonical entity."""
+    m = raw_mentions.withColumn("norm_exact", normalize_exact_col(F.col("name")))
+    return (
+        m.join(name_resolution, on=["group_id", "norm_exact"])
+        .groupBy(
+            "group_id",
+            F.col("episode_uuid").alias("source_node_uuid"),
+            F.col("canonical_id").alias("target_node_uuid"),
+        )
+        .agg(F.min("ep_valid_at").alias("created_at"))
+        .withColumn(
+            "uuid",
+            det_id_col(
+                F.lit("mention"),
+                F.col("source_node_uuid"),
+                F.col("target_node_uuid"),
+            ),
+        )
+        .select("uuid", "group_id", "source_node_uuid", "target_node_uuid", "created_at")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    group_col=None,
+    lang: str | None = "en",
+    now: datetime | None = None,
+    checkpoint_dir: str | None = None,
+    with_embeddings: bool = True,
+) -> dict:
+    """Full batch ingest. Returns dict with episodes/nodes/edges/mentions
+    DataFrames plus per-stage metrics."""
+    now = now or datetime.now(timezone.utc)
+    runner = StageRunner(spark, checkpoint_dir)
+
+    # input fingerprint: cheap & stable — count + paths
+    try:
+        in_files = ",".join(sorted(pages.inputFiles()))
+    except Exception:
+        in_files = "inline"
+    in_fp = f"{in_files}"
+
+    episodes = runner.run("episodes", in_fp, lambda: pages_to_episodes(pages, group_col, lang))
+
+    raw_mentions = runner.run("raw_mentions", in_fp, lambda: extract_mentions_df(episodes))
+    raw_triples = runner.run("raw_triples", in_fp, lambda: extract_triples_df(episodes))
+
+    # D1-D14 global canonicalization
+    name_resolution = runner.run("name_resolution", in_fp, lambda: resolve_names(raw_mentions))
+    nodes = runner.run(
+        "nodes_canonical", in_fp, lambda: build_canonical_nodes(name_resolution, raw_mentions)
+    )
+
+    resolved_triples = rewrite_pointers(raw_triples, name_resolution)
+    edges = runner.run(
+        "edges",
+        in_fp,
+        lambda: invalidate_contradictions(dedup_edges(resolved_triples), now),
+    )
+    mentions = runner.run(
+        "mentions", in_fp, lambda: build_mentions_table(raw_mentions, name_resolution)
+    )
+
+    if with_embeddings:
+        nodes = nodes.withColumn("name_embedding", embed_udf(F.col("name")))
+        edges = edges.withColumn("fact_embedding", embed_udf(F.col("fact")))
+
+    return {
+        "episodes": episodes,
+        "raw_mentions": raw_mentions,
+        "raw_triples": raw_triples,
+        "name_resolution": name_resolution,
+        "nodes": nodes,
+        "edges": edges,
+        "mentions": mentions,
+        "metrics": runner.metrics,
+        "now": now,
+    }
+
+
+def spark_triple_set(result: dict) -> set[tuple]:
+    """Comparable triple identity matching oracle.triple_set: canonical name
+    = min normalized alias of the component."""
+    nodes = result["nodes"].select("uuid", "norm_name")
+    e = (
+        result["edges"]
+        .join(
+            nodes.withColumnRenamed("uuid", "source_node_uuid").withColumnRenamed(
+                "norm_name", "subj_name"
+            ),
+            on="source_node_uuid",
+        )
+        .join(
+            nodes.withColumnRenamed("uuid", "target_node_uuid").withColumnRenamed(
+                "norm_name", "obj_name"
+            ),
+            on="target_node_uuid",
+        )
+        .select("group_id", "subj_name", "name", "obj_name", "norm_fact")
+    )
+    return {
+        (r["group_id"], r["subj_name"], r["name"], r["obj_name"], r["norm_fact"])
+        for r in e.collect()
+    }

@@ -1,0 +1,135 @@
+"""Canonical StructTypes for every table the engine reads or writes.
+
+Mirrors the reference's Pydantic data model (SURVEY.md §1.1):
+EpisodicNode  -> EPISODES   (/root/reference/graphiti_core/nodes.py:353-363)
+EntityNode    -> NODES      (nodes.py:496-501)
+EntityEdge    -> EDGES      (edges.py:228-247)
+EpisodicEdge  -> MENTIONS   (edges.py:138-151)
+CommunityNode -> COMMUNITIES(nodes.py:664-666)
+plus the BASELINE input_hint WEB_PAGES table.
+"""
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    FloatType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+WEB_PAGES = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+EPISODES = StructType(
+    [
+        StructField("uuid", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("group_id", StringType(), False),
+        StructField("source", StringType(), False),           # message|json|text
+        StructField("source_description", StringType(), True),
+        StructField("content", StringType(), True),
+        StructField("created_at", TimestampType(), False),
+        StructField("valid_at", TimestampType(), False),
+        StructField("entity_edges", ArrayType(StringType()), True),
+    ]
+)
+
+NODES = StructType(
+    [
+        StructField("uuid", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("group_id", StringType(), False),
+        StructField("labels", ArrayType(StringType()), True),
+        StructField("created_at", TimestampType(), False),
+        StructField("name_embedding", ArrayType(FloatType()), True),
+        StructField("summary", StringType(), True),
+        StructField("attributes", MapType(StringType(), StringType()), True),
+    ]
+)
+
+EDGES = StructType(
+    [
+        StructField("uuid", StringType(), False),
+        StructField("group_id", StringType(), False),
+        StructField("source_node_uuid", StringType(), False),
+        StructField("target_node_uuid", StringType(), False),
+        StructField("name", StringType(), False),              # predicate
+        StructField("fact", StringType(), True),
+        StructField("fact_embedding", ArrayType(FloatType()), True),
+        StructField("episodes", ArrayType(StringType()), True),
+        StructField("created_at", TimestampType(), False),
+        StructField("expired_at", TimestampType(), True),
+        StructField("valid_at", TimestampType(), True),
+        StructField("invalid_at", TimestampType(), True),
+        StructField("attributes", MapType(StringType(), StringType()), True),
+    ]
+)
+
+MENTIONS = StructType(
+    [
+        StructField("uuid", StringType(), False),
+        StructField("group_id", StringType(), False),
+        StructField("source_node_uuid", StringType(), False),  # episode
+        StructField("target_node_uuid", StringType(), False),  # entity
+        StructField("created_at", TimestampType(), False),
+    ]
+)
+
+COMMUNITIES = StructType(
+    [
+        StructField("uuid", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("group_id", StringType(), False),
+        StructField("summary", StringType(), True),
+        StructField("created_at", TimestampType(), False),
+    ]
+)
+
+# intermediate: one row per extracted mention (pre-resolution)
+RAW_MENTIONS = StructType(
+    [
+        StructField("episode_uuid", StringType(), False),
+        StructField("group_id", StringType(), False),
+        StructField("ep_valid_at", TimestampType(), False),
+        StructField("name", StringType(), False),
+        StructField("entity_type", StringType(), False),
+        StructField("mention_idx", LongType(), False),
+    ]
+)
+
+# intermediate: one row per extracted triple (pre-resolution)
+RAW_TRIPLES = StructType(
+    [
+        StructField("episode_uuid", StringType(), False),
+        StructField("group_id", StringType(), False),
+        StructField("ep_valid_at", TimestampType(), False),
+        StructField("subject", StringType(), False),
+        StructField("predicate", StringType(), False),
+        StructField("object", StringType(), False),
+        StructField("fact", StringType(), False),
+        StructField("valid_at", TimestampType(), True),
+        StructField("invalid_at", TimestampType(), True),
+        StructField("triple_idx", LongType(), False),
+    ]
+)
+
+# intermediate: per distinct (group_id, name) dedup features
+NAME_FEATURES = StructType(
+    [
+        StructField("is_high_entropy", BooleanType(), False),
+        StructField("shingles", ArrayType(StringType()), False),
+        StructField("band_keys", ArrayType(LongType()), False),
+    ]
+)

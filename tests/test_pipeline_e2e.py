@@ -1,0 +1,116 @@
+"""End-to-end: web_pages -> Spark pipeline vs the sequential reference-
+semantics oracle. The P/R >= 0.95 gate from BASELINE.json north_rule."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.datagen import generate_web_pages
+from graphiti_spark.oracle import ingest_episodes, precision_recall, triple_set
+from graphiti_spark.pipeline import pages_to_episodes, run_pipeline, spark_triple_set
+from graphiti_spark.schemas import WEB_PAGES
+
+NOW = datetime(2026, 8, 16, tzinfo=timezone.utc)
+
+
+def GROUP_COL():
+    return F.regexp_extract(F.col("url"), r"example/([^/]+)/", 1)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    rows = generate_web_pages(n_pages=150, seed=42)
+    return spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=WEB_PAGES,
+    )
+
+
+@pytest.fixture(scope="module")
+def result(spark, pages_df):
+    return run_pipeline(spark, pages_df, group_col=GROUP_COL(), now=NOW, with_embeddings=False)
+
+
+def test_byte_identical_text(spark, pages_df):
+    """north_rule invariant: extracted text byte-identical to source text."""
+    eps = pages_to_episodes(pages_df, group_col=GROUP_COL(), lang=None).select(
+        F.col("name").alias("ep_url"), F.col("ep_valid_at").alias("ep_ts"), "content"
+    )
+    src = pages_df.select("url", "warc_ts", F.col("text").alias("orig"))
+    joined = eps.join(
+        src, on=[eps.ep_url == src.url, eps.ep_ts == src.warc_ts], how="inner"
+    )
+    assert joined.count() == src.count()
+    assert joined.filter(F.col("content") != F.col("orig")).count() == 0
+
+
+def test_pipeline_produces_graph(result):
+    assert result["nodes"].count() > 50
+    assert result["edges"].count() > 100
+    assert result["mentions"].count() > 200
+
+
+def test_exact_and_fuzzy_dedup_collapsed(result):
+    nodes = result["nodes"]
+    # all acme-family variants per group collapse to ONE canonical node
+    fam = nodes.filter(F.lower(F.col("name")).contains("acme")).groupBy("group_id").count()
+    assert all(r["count"] == 1 for r in fam.collect())
+    # norm_name of that node is the min alias
+    one = nodes.filter(F.lower(F.col("name")).contains("acme")).first()
+    assert one["norm_name"] == min(one["aliases"])
+
+
+def test_no_cross_group_merges(result):
+    nodes = result["nodes"].select("uuid", "group_id").collect()
+    assert len({(r["uuid"]) for r in nodes}) == len(nodes)  # uuid unique
+    # canonical ids embed the group hash, so same name in 2 groups != same uuid
+    by_group = {}
+    for r in nodes:
+        by_group.setdefault(r["uuid"], set()).add(r["group_id"])
+    assert all(len(g) == 1 for g in by_group.values())
+
+
+def test_temporal_invalidation_fired(result):
+    edges = result["edges"]
+    inv = edges.filter(F.col("invalid_at").isNotNull())
+    assert inv.count() > 0
+    # invariant: invalid_at > valid_at for contradiction-invalidated edges
+    bad = inv.filter(F.col("valid_at").isNotNull() & (F.col("invalid_at") <= F.col("valid_at")))
+    assert bad.count() == 0
+    # expired_at set iff invalid_at set
+    assert edges.filter(F.col("invalid_at").isNotNull() & F.col("expired_at").isNull()).count() == 0
+    assert edges.filter(F.col("invalid_at").isNull() & F.col("expired_at").isNotNull()).count() == 0
+
+
+def test_edge_dedup_key_unique(result):
+    edges = result["edges"]
+    total = edges.count()
+    keys = edges.select("group_id", "source_node_uuid", "target_node_uuid", "norm_fact").distinct()
+    assert keys.count() == total
+    assert edges.select("uuid").distinct().count() == total
+
+
+def test_episode_provenance_merged(result):
+    edges = result["edges"]
+    multi = edges.filter(F.size("episodes") > 1)
+    assert multi.count() > 0  # re-crawled pages re-assert facts
+
+
+def test_triple_precision_recall_vs_reference(spark, result):
+    """THE gate: P/R >= 0.95 vs sequential reference-semantics oracle."""
+    eps = [
+        {
+            "uuid": r["episode_uuid"],
+            "group_id": r["group_id"],
+            "content": r["content"],
+            "valid_at": r["ep_valid_at"],
+        }
+        for r in result["episodes"].collect()
+    ]
+    ref = triple_set(ingest_episodes(eps, NOW))
+    got = spark_triple_set(result)
+    p, r = precision_recall(got, ref)
+    print(f"\ntriples: spark={len(got)} ref={len(ref)} precision={p:.4f} recall={r:.4f}")
+    assert p >= 0.95, f"precision {p:.4f} < 0.95"
+    assert r >= 0.95, f"recall {r:.4f} < 0.95"
