@@ -1,0 +1,501 @@
+"""Large-scale training-data pipeline operators over a `documents` corpus.
+
+Beyond the reference's KG operators, a 100 TB webtext engine needs the
+curation stages every training-data pipeline runs: deduplication (exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup), approximate
+similarity search, text analysis (language-ID, quality scoring, token
+stats, fingerprinting) and multimodal column plumbing. All hot-path logic
+is JVM-side (split/regexp/md5/zip_with/aggregate inside whole-stage
+codegen); Python appears only as Arrow-batched pandas UDFs for the hash
+kernels (minhash/simhash) — never per-row.
+
+Scale notes:
+- exact/fingerprint dedup: one md5 groupBy — a single shuffle on the hash,
+  uniformly distributed by construction (no skew possible).
+- minhash-LSH: |docs| × 8 band rows shuffle; hot buckets capped the same
+  way as node dedup (deliberately-approximate blocking).
+- token-Jaccard: quadratic *within a language block* — correct at oracle
+  scale; at 100 TB use minhash_neardup_pairs as the blocked scale path and
+  keep this as the verifier on sampled buckets.
+- cosine near-dup / ANN: brute force broadcast for the oracle path;
+  lsh_bucketed_ann for the scale path (random-hyperplane signs as buckets).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from graphiti_spark.search import _dot, cosine_topk, quantize_col
+
+# ---------------------------------------------------------------------------
+# exact dedup + fingerprinting (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct text: fingerprint, keeper (min id), copy count."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col).alias("id"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def normalized_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """md5 of whitespace-normalized lowercase text — the cheap near-exact
+    dedup key (catches case/whitespace-only variants)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram (token-set) Jaccard near-dup — the SQL-verifiable quadratic form
+# ---------------------------------------------------------------------------
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+) -> DataFrame:
+    """Same-block pairs (a < b) with token-set Jaccard >= threshold.
+
+    Output: a_id, b_id, jac_x10000 (bigint — integer-derived, engine-exact).
+    """
+    t = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")).alias(
+            "toks"
+        ),
+    )
+    a = t.select(F.col("blk"), F.col("id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = t.select(F.col("blk"), F.col("id").alias("b_id"), F.col("toks").alias("b_toks"))
+    pairs = a.join(b, on="blk").filter(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
+    union = F.size(F.array_union("a_toks", "b_toks")).cast("double")
+    jac = inter / union
+    return (
+        pairs.withColumn("jac", jac)
+        .filter(F.col("jac") >= threshold)
+        .select(
+            "a_id", "b_id", F.round(F.col("jac") * 10000).cast("long").alias("jac_x10000")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup over word shingles (the scale path)
+# ---------------------------------------------------------------------------
+
+DOC_MINHASH_PERMS = 64
+DOC_BAND_SIZE = 8
+DOC_SHINGLE_WORDS = 5
+
+_DOC_FEATURES = StructType(
+    [
+        StructField("band_keys", ArrayType(LongType()), False),
+        StructField("sig", ArrayType(LongType()), False),
+    ]
+)
+
+
+def _doc_minhash_batch(texts: pd.Series) -> pd.DataFrame:
+    from hashlib import blake2b
+
+    band_lists, sigs = [], []
+    nb = DOC_MINHASH_PERMS // DOC_BAND_SIZE
+    for txt in texts:
+        toks = (txt or "").split()
+        if len(toks) < DOC_SHINGLE_WORDS:
+            shingle_set = {" ".join(toks)} if toks else set()
+        else:
+            shingle_set = {
+                " ".join(toks[i : i + DOC_SHINGLE_WORDS])
+                for i in range(len(toks) - DOC_SHINGLE_WORDS + 1)
+            }
+        if not shingle_set:
+            band_lists.append([])
+            sigs.append([])
+            continue
+        base = [
+            int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big")
+            for s in shingle_set
+        ]
+        # xor-shift derived permutations of one strong base hash — one blake2b
+        # per shingle instead of 64 (10x cheaper, same collision behavior)
+        sig = []
+        for seed in range(DOC_MINHASH_PERMS):
+            mask = (0x9E3779B97F4A7C15 * (seed + 1)) & ((1 << 64) - 1)
+            sig.append(min(((h ^ mask) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1) for h in base))
+        keys = []
+        for bidx in range(nb):
+            band = sig[bidx * DOC_BAND_SIZE : (bidx + 1) * DOC_BAND_SIZE]
+            d = blake2b(
+                (str(bidx) + "|" + "|".join(map(str, band))).encode(), digest_size=8
+            ).digest()
+            keys.append(int.from_bytes(d, "big") - (1 << 63))
+        band_lists.append(keys)
+        sigs.append([s - (1 << 63) for s in sig])
+    return pd.DataFrame({"band_keys": band_lists, "sig": sigs})
+
+
+doc_minhash_udf = F.pandas_udf(_DOC_FEATURES)(_doc_minhash_batch)
+
+LSH_DOC_BUCKET_CAP = 128
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH-blocked near-dup pairs; estimated Jaccard = signature agreement.
+
+    Output: a_id, b_id, est_jac (double). Band-join shuffle is the only
+    quadratic-risk stage; buckets above LSH_DOC_BUCKET_CAP are dropped
+    (same deliberate approximation as node dedup).
+    """
+    feat = docs.select(
+        F.col(id_col).alias("id"), doc_minhash_udf(F.col(text_col)).alias("f")
+    ).select("id", F.col("f.band_keys").alias("band_keys"), F.col("f.sig").alias("sig"))
+    banded = feat.select(
+        "id", "sig", F.posexplode("band_keys").alias("band_pos", "band_key")
+    )
+    sizes = banded.groupBy("band_pos", "band_key").count()
+    banded = banded.join(
+        sizes.filter(F.col("count") <= LSH_DOC_BUCKET_CAP).drop("count"),
+        on=["band_pos", "band_key"],
+    )
+    a = banded.select("band_pos", "band_key", F.col("id").alias("a_id"), F.col("sig").alias("a_sig"))
+    b = banded.select("band_pos", "band_key", F.col("id").alias("b_id"), F.col("sig").alias("b_sig"))
+    pairs = (
+        a.join(b, on=["band_pos", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("a_sig", "b_sig", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
+    )
+    est = agree.cast("double") / F.size("a_sig")
+    return (
+        pairs.withColumn("est_jac", est)
+        .filter(F.col("est_jac") >= threshold)
+        .select("a_id", "b_id", "est_jac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (64-bit, banded hamming join)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    from hashlib import blake2b
+
+    out = []
+    for txt in texts:
+        acc = [0] * 64
+        for tok in (txt or "").split():
+            h = int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "big")
+            for bit in range(64):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                v |= 1 << bit
+        out.append(v - (1 << 63))
+    return pd.Series(out)
+
+
+simhash_udf = F.pandas_udf(LongType())(_simhash_batch)
+
+SIMHASH_BANDS = 4  # 4 x 16-bit bands: hamming <= 3 guarantees >= 1 shared band
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded simhash join: candidates share >= 1 of 4 16-bit bands; verify
+    with popcount(xor) <= max_hamming. Output: a_id, b_id, hamming."""
+    sh = docs.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh"))
+    bands = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_pos", "band_val"),
+    )
+    a = bands.select("band_pos", "band_val", F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = bands.select("band_pos", "band_val", F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
+    pairs = (
+        a.join(b, on=["band_pos", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup + ANN
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    embs: DataFrame, threshold: float = 0.45, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All pairs (a < b) with quantized-cosine >= threshold. Brute force —
+    the oracle-checkable form; lsh_bucketed_ann is the blocked scale path.
+    Output: a_id, b_id, cos_x10000."""
+    v = embs.select(F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("v"))
+    v = v.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v")).cast("double")))
+    a = v.select(F.col("id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an"))
+    b = v.select(F.col("id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    cos = _dot(F.col("av"), F.col("bv")).cast("double") / (F.col("an") * F.col("bn"))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", F.round(F.col("cos") * 10000).cast("long").alias("cos_x10000"))
+    )
+
+
+def ann_topk(
+    embs: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: first n_queries ids vs the rest.
+    Output: q_id, c_id, cos_x10000, rnk."""
+    q = embs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).cast("string").alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embs.filter(F.col(id_col) >= n_queries).select(
+        F.col(id_col).cast("string").alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    out = cosine_topk(q, c, k=k)
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("c_id").cast("long").alias("c_id"),
+        F.round(F.col("cos") * 10000).cast("long").alias("cos_x10000"),
+        "rnk",
+    )
+
+
+N_HYPERPLANES = 8
+
+
+def lsh_bucketed_ann(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path ANN: random-hyperplane sign buckets (seeded, derived from
+    dimension-index hashes) shrink the candidate set; exact cosine rerank
+    inside the bucket. Recall < 1 by design — this is the 100 TB path; the
+    brute-force form above is the oracle."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    first = embs.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+    planes = rng.randn(N_HYPERPLANES, dim)
+
+    @F.pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ planes.T) > 0
+        vals = np.zeros(len(vecs), dtype=np.int64)
+        for i in range(N_HYPERPLANES):
+            vals |= signs[:, i].astype(np.int64) << i
+        return pd.Series(vals)
+
+    cb = embs.select(
+        F.col(id_col).cast("string").alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).cast("string").alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
+    )
+    joined = cb.join(F.broadcast(qb), on="bucket").filter(F.col("q_id") != F.col("c_id"))
+    qv = quantize_col(F.col("q_vec"))
+    cv = quantize_col(F.col("c_vec"))
+    cos = _dot(qv, cv).cast("double") / (
+        F.sqrt(_dot(qv, qv).cast("double")) * F.sqrt(_dot(cv, cv).cast("double"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cos", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID, quality, token stats
+# ---------------------------------------------------------------------------
+
+EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "was", "for"]
+LANG_ID_THRESHOLD = 0.05
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language detector (en vs other). Output: id,
+    predicted_lang, stop_ratio_x1e6 — integer-derived, engine-exact."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    stops = F.filter(toks, lambda x: F.lower(x).isin(EN_STOPWORDS))
+    n_tok = F.size(toks)
+    ratio = F.when(n_tok > 0, F.size(stops).cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.when(ratio >= LANG_ID_THRESHOLD, F.lit("en")).otherwise(F.lit("other")).alias(
+            "predicted_lang"
+        ),
+        F.round(ratio * 1000000).cast("long").alias("stop_ratio_x1e6"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token count, distinct-token ratio, mean
+    token length — the length/diversity heuristics of C4-style filters.
+    All integer-derived columns."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_uniq_tokens"),
+        F.when(n_tok > 0, F.round(n_uniq.cast("double") / n_tok.cast("double") * 1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("uniq_ratio_x1e6"),
+        F.when(n_tok > 0, F.round(sum_len.cast("double") / n_tok.cast("double") * 100))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_tok_len_x100"),
+    )
+
+
+def token_stats(
+    docs: DataFrame, group_cols: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Corpus token accounting per group: docs, tokens, avg tokens/doc."""
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
+    return (
+        docs.withColumn("n_tok", toks.cast("long"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.sum("n_tok").cast("double") / F.count("*").cast("double") * 100)
+            .cast("long")
+            .alias("avg_tokens_x100"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns: opaque binary + typed metadata; decode is a stub
+# (image/audio libs absent in this container) but the Spark plumbing —
+# schema, batch iteration, partition-sized Arrow batches — is real.
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_bytes", LongType(), False),
+        StructField("format", StringType(), True),
+    ]
+)
+
+
+def media_metadata(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Extract metadata from opaque binary columns via mapInPandas.
+
+    The decode step is a deterministic fake (header sniff on the first
+    bytes); a real deployment drops in PIL/ffmpeg here — the Spark-side
+    batch shape, schema and partitioning are what this function pins.
+    """
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widths, heights, sizes, fmts = [], [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob) if blob is not None else b""
+                ids.append(mid)
+                sizes.append(len(raw))
+                if raw[:2] == b"\xff\xd8":
+                    fmts.append("jpeg")
+                elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    fmts.append("png")
+                else:
+                    fmts.append("unknown")
+                # deterministic fake decode: real impl uses PIL.Image.open
+                widths.append(None)
+                heights.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": pd.array(widths, dtype="Int64"),
+                    "height": pd.array(heights, dtype="Int64"),
+                    "n_bytes": sizes,
+                    "format": fmts,
+                }
+            )
+
+    return media.select(id_col, blob_col).mapInPandas(
+        _meta, schema="media_id long, width long, height long, n_bytes long, format string"
+    )
+
+
+def decode_media(media: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Real decode requires PIL/torchaudio/ffmpeg — absent in this container."""
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "container; media_metadata() provides the tested Spark plumbing"
+    )

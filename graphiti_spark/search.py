@@ -1,0 +1,327 @@
+"""Read-side search library — Q1-Q7/Q11 of SURVEY.md §2.6.
+
+The reference fans out Lucene fulltext + brute-force cosine + BFS per query
+and fuses with RRF/MMR/graph-distance rerankers
+(/root/reference/graphiti_core/search/search.py:68-518,
+search/search_utils.py:75-2012). Here each method is a set-oriented
+DataFrame transformation over the materialized output tables, so a "batch
+of queries" is one join, not N round trips.
+
+Scale notes (100 TB posture):
+- BM25 runs on a precomputed posting table (term, doc, tf) partitioned by
+  term; a query joins a tiny broadcast term list against it — the scan
+  prunes to the query's terms only.
+- cosine kNN broadcasts the (small) query-vector table against the
+  embedding corpus and keeps everything JVM-side: the dot product is
+  zip_with + aggregate inside whole-stage codegen, no Python.
+- BFS is depth<=3 fixed rounds of frontier joins (ref MAX_SEARCH_DEPTH=3,
+  search_utils.py:71); each round dedups the frontier before joining.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_, or_
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_SEARCH_DEPTH = 3   # ref search_utils.py:71
+DEFAULT_MIN_SCORE = 0.6  # ref search_utils.py:69
+DEFAULT_MMR_LAMBDA = 0.5  # ref search_utils.py:70
+
+# ---------------------------------------------------------------------------
+# Q1 — BM25 fulltext over a tokenized posting table
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) posting rows with tf — whitespace tokenization, JVM-side."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+
+
+def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")).alias("dl"),
+    )
+
+
+def bm25_term_scores(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-(doc, term) BM25 contributions for the query terms.
+
+    Returned unsummed so callers control fusion (and so the driver's
+    order-insensitive hash check is float-summation-order-proof); sum with
+    groupBy(doc).agg(sum(score)) for the classic ranking.
+    """
+    spark = corpus.sparkSession
+    postings = tokenize(corpus, id_col, text_col)
+    dls = doc_lengths(corpus, id_col, text_col)
+    n_docs = corpus.count()
+    avgdl_row = dls.agg((F.sum("dl") / F.count("*")).alias("avgdl")).collect()[0]
+    avgdl = float(avgdl_row["avgdl"])
+
+    qt = spark.createDataFrame([(t,) for t in query_terms], ["term"])
+    hits = postings.join(F.broadcast(qt), on="term").join(dls, on="doc")
+    df_counts = hits.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    hits = hits.join(F.broadcast(df_counts), on="term")
+
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return hits.select("doc", "term", (idf * tf_part).alias("score"))
+
+
+def bm25_search(
+    corpus: DataFrame, id_col: str, text_col: str, query: str, limit: int = 10
+) -> DataFrame:
+    """Classic top-k BM25: doc + summed score, ordered."""
+    terms = [t for t in query.lower().split() if t]
+    per_term = bm25_term_scores(corpus, id_col, text_col, terms)
+    return (
+        per_term.groupBy("doc")
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(limit)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — cosine kNN (brute force, as the reference is; ref search_utils.py:314-479)
+# ---------------------------------------------------------------------------
+
+
+def quantize_col(col: Column) -> Column:
+    """array<float> -> array<bigint> at 1e-3 resolution. Integer dot products
+    are bit-exact across engines, which pins the oracle comparison; ranking
+    is unchanged at embedding scale. The explicit double cast keeps the
+    float->double promotion identical to the oracle's CAST(x AS DOUBLE)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000).cast("long"))
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+                       lambda acc, v: acc + v)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    min_score: float | None = None,
+) -> DataFrame:
+    """queries(q_id, q_vec) × candidates(c_id, c_vec) -> top-k by cosine.
+
+    Broadcast the query side (small); the candidate scan stays JVM-side —
+    zip_with/aggregate, no Python. Output: q_id, c_id, cos(double), rnk.
+    """
+    q = F.broadcast(
+        queries.select(
+            "q_id",
+            quantize_col(F.col("q_vec")).alias("qv"),
+        ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")).cast("double")))
+    )
+    c = candidates.select(
+        "c_id", quantize_col(F.col("c_vec")).alias("cv")
+    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")).cast("double")))
+    pairs = c.crossJoin(q).withColumn(
+        "cos", _dot(F.col("qv"), F.col("cv")).cast("double") / (F.col("qn") * F.col("cn"))
+    )
+    if min_score is not None:
+        pairs = pairs.filter(F.col("cos") > min_score)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cos", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — BFS expansion, depth <= 3 fixed rounds (ref search_utils.py:482-602)
+# ---------------------------------------------------------------------------
+
+
+def bfs(edges: DataFrame, origins: DataFrame, max_depth: int = MAX_SEARCH_DEPTH) -> DataFrame:
+    """edges(src, dst) from origins(id) -> (id, depth) with min hop distance.
+
+    Origins are depth 0. Each round joins the (deduped) frontier against the
+    edge table; visited nodes never re-enter the frontier.
+    """
+    visited = origins.select(F.col("id"), F.lit(0).alias("depth"))
+    frontier = visited.select("id")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id").withColumnRenamed("id", "seen"),
+                  F.col("id") == F.col("seen"), "left_anti")
+        )
+        nxt = nxt.select("id", F.lit(d).alias("depth")).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt)
+        frontier = nxt.select("id")
+    return visited
+
+
+# ---------------------------------------------------------------------------
+# Q4 — reciprocal rank fusion (ref search_utils.py:1869-1884: 1/(rank+1),
+# rank enumerated from 0 per result list)
+# ---------------------------------------------------------------------------
+
+
+def rrf(ranked_lists: list[DataFrame], min_score: float = 0.0) -> DataFrame:
+    """Each input: (uuid, rank) with rank starting at 1. Output: uuid, score
+    = sum of 1/(rank+... ) matching the reference's 1-based enumerate-from-0,
+    i.e. contribution = 1/rank_0based+1 == 1/rank_1based."""
+    scored = [
+        df.select("uuid", (F.lit(1.0) / F.col("rank")).alias("part")) for df in ranked_lists
+    ]
+    allparts = reduce(DataFrame.union, scored)
+    return (
+        allparts.groupBy("uuid")
+        .agg(F.sum("part").alias("score"))
+        .filter(F.col("score") >= min_score)
+        .orderBy(F.desc("score"), F.asc("uuid"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — maximal marginal relevance (candidate sets are tiny: pandas on driver
+# would also do, but keep it a grouped-map so batches of queries distribute;
+# ref search_utils.py:1974-2012)
+# ---------------------------------------------------------------------------
+
+
+def mmr_rerank(
+    candidates: DataFrame, mmr_lambda: float = DEFAULT_MMR_LAMBDA, k: int = 10
+) -> DataFrame:
+    """candidates(q_id, c_id, rel, emb array<float>) -> (q_id, c_id, mmr_rank).
+
+    Greedy MMR per query group: score = λ·rel + (λ-1)·max_sim(c, chosen).
+    (Reference uses λ·sim(q,c) + (λ-1)·max_sim — `rel` is that first term.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    lam = float(mmr_lambda)
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        embs = np.array([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
+        norms = np.linalg.norm(embs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = embs / norms[:, None]
+        sims = unit @ unit.T
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        chosen: list[int] = []
+        remaining = list(range(n))
+        while remaining and len(chosen) < k:
+            best_i, best_v = None, None
+            for i in remaining:
+                penalty = max(sims[i, j] for j in chosen) if chosen else 0.0
+                v = lam * rel[i] + (lam - 1) * penalty
+                if best_v is None or v > best_v or (
+                    v == best_v and pdf["c_id"].iloc[i] < pdf["c_id"].iloc[best_i]
+                ):
+                    best_i, best_v = i, v
+            chosen.append(best_i)
+            remaining.remove(best_i)
+        return pd.DataFrame(
+            {
+                "q_id": pdf["q_id"].iloc[chosen].to_numpy(),
+                "c_id": pdf["c_id"].iloc[chosen].to_numpy(),
+                "mmr_rank": np.arange(1, len(chosen) + 1),
+            }
+        )
+
+    return candidates.groupBy("q_id").applyInPandas(
+        _mmr, schema="q_id string, c_id string, mmr_rank long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6/Q7 — graph-distance + mention-count rerankers
+# ---------------------------------------------------------------------------
+
+
+def node_distance_rerank(candidates: DataFrame, edges: DataFrame, center_uuid: str) -> DataFrame:
+    """candidates(uuid) -> (uuid, score=1/distance); center itself scores
+    1/0.1 like the reference (ref search_utils.py:1887-1938). Unreached
+    candidates keep infinite distance -> score 0."""
+    origins = candidates.sparkSession.createDataFrame([(center_uuid,)], ["id"])
+    bidir = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"),
+                                                          F.col("src").alias("dst")))
+    dists = bfs(bidir, origins)
+    return (
+        candidates.join(dists, candidates.uuid == dists.id, "left")
+        .select(
+            "uuid",
+            F.when(F.col("uuid") == center_uuid, F.lit(1.0 / 0.1))
+            .when(F.col("depth").isNotNull() & (F.col("depth") > 0), 1.0 / F.col("depth"))
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("uuid"))
+    )
+
+
+def episode_mentions_rerank(candidates: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Rerank nodes by how many episodes mention them (ref :1941-1971)."""
+    counts = mentions.groupBy(F.col("target_node_uuid").alias("uuid")).agg(
+        F.count("*").alias("score")
+    )
+    return (
+        candidates.join(counts, on="uuid", how="left")
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(0)).cast("double"))
+        .orderBy(F.desc("score"), F.asc("uuid"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — SearchFilters: OR-of-AND date/label filter compiler
+# (ref search/search_filters.py:26-251)
+# ---------------------------------------------------------------------------
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<>": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    "<": lambda c, v: c < v,
+    ">=": lambda c, v: c >= v,
+    "<=": lambda c, v: c <= v,
+    "IS NULL": lambda c, v: c.isNull(),
+    "IS NOT NULL": lambda c, v: c.isNotNull(),
+}
+
+
+def compile_filters(or_of_ands: list[list[tuple[str, str, object]]]) -> Column:
+    """[[(column, op, value), ...], ...] -> one Column predicate.
+
+    Mirrors the reference's DateFilter OR-of-AND structure: inner lists AND
+    together; outer list ORs. Empty input -> always-true.
+    """
+    if not or_of_ands:
+        return F.lit(True)
+    ors = []
+    for conj in or_of_ands:
+        ands = [_OPS[op](F.col(col), F.lit(val)) for (col, op, val) in conj]
+        ors.append(reduce(and_, ands) if ands else F.lit(True))
+    return reduce(or_, ors)
