@@ -1,0 +1,117 @@
+"""Headline benchmark: KG pipeline end-to-end + operator queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <pipeline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples": N,
+   "triples_per_sec": N}
+
+The BASELINE.json metric is triples/sec end-to-end
+(extract -> link -> canonicalize -> materialize); `triples_per_sec` reports
+it directly. Scaling-efficiency evidence (same input, local[8] vs
+local[32]) is produced by scripts/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from graphiti_spark.session import get_spark
+
+HEADLINE = [
+    "prev_episodes_topk",
+    "edge_dedup_firstwins",
+    "temporal_invalidation",
+    "connected_components_graph",
+    "dedup_exact",
+    "dedup_token_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    "lang_id",
+    "quality_scores",
+    "token_stats",
+    "doc_fingerprint",
+    "bm25_term_scores",
+    "rrf_fusion",
+    "graph_bfs",
+]
+
+
+def run_pipeline_timed(spark, sf_dir: str) -> tuple[float, int]:
+    """Full KG construction over the synthetic web_pages slice; returns
+    (wall sec, canonical triple count). Work is forced by writing the edge
+    table out (materialize stage included, matching the BASELINE metric)."""
+    import shutil
+    import tempfile
+
+    from graphiti_spark.pipeline import run_pipeline
+    from __spark_entry__ import _FIXED_NOW, _pages_df
+
+    pages = _pages_df(spark, sf_dir)
+    pages = pages.cache()
+    pages.count()  # datagen + upload excluded from the measured window
+
+    out_dir = tempfile.mkdtemp(prefix="graphiti_bench_")
+    t0 = time.time()
+    result = run_pipeline(spark, pages, now=_FIXED_NOW)
+    for name in ("nodes", "edges", "mentions"):
+        result[name].write.mode("overwrite").parquet(os.path.join(out_dir, name))
+    elapsed = time.time() - t0
+    n_triples = spark.read.parquet(os.path.join(out_dir, "edges")).count()
+    pages.unpersist()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return elapsed, n_triples
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    spark = get_spark("bench")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm up the JVM/Arrow path once so per-query numbers measure the
+    # operators, not first-call codegen
+    qs["lang_id"](spark, sf_dir).count()
+
+    pipe_sec, n_triples = run_pipeline_timed(spark, sf_dir)
+    timings["kg_pipeline_e2e"] = round(pipe_sec, 3)
+
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_e2e_plus_operator_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "triples": n_triples,
+                "triples_per_sec": round(n_triples / pipe_sec, 1) if pipe_sec else None,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
