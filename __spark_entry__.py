@@ -359,6 +359,8 @@ _ORACLES: dict[str, str] = {
                     / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE))) AS BIGINT)
                    AS jac_x10000
         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND len(a.toks) * 10000 >= len(b.toks) * 8500
+             AND len(b.toks) * 10000 >= len(a.toks) * 8500
         WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.85
     """,

@@ -81,15 +81,37 @@ def token_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.array_distinct(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")).alias(
-            "toks"
+            "toks_s"
         ),
     )
-    a = t.select(F.col("blk"), F.col("id").alias("a_id"), F.col("toks").alias("a_toks"))
-    b = t.select(F.col("blk"), F.col("id").alias("b_id"), F.col("toks").alias("b_toks"))
-    pairs = a.join(b, on="blk").filter(F.col("a_id") < F.col("b_id"))
-    inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
-    union = F.size(F.array_union("a_toks", "b_toks")).cast("double")
-    jac = inter / union
+    # intersect 64-bit token hashes, not strings: set sizes are identical
+    # (collision odds ~|vocab|^2/2^64) and per-pair hashing is ~10x cheaper
+    t = t.select(
+        "id",
+        "blk",
+        F.transform("toks_s", lambda x: F.xxhash64(x)).alias("toks"),
+        F.size("toks_s").cast("long").alias("n"),
+    )
+    a = t.select("blk", F.col("id").alias("a_id"), F.col("toks").alias("a_toks"),
+                 F.col("n").alias("a_n"))
+    b = t.select("blk", F.col("id").alias("b_id"), F.col("toks").alias("b_toks"),
+                 F.col("n").alias("b_n"))
+    # exact size-ratio prefilter: J(A,B) <= min/max sizes, so J >= t requires
+    # |A|*10000 >= |B|*t*10000 both ways — integer arithmetic so the oracle
+    # SQL applies the identical cut
+    thr = int(round(threshold * 10000))
+    pairs = (
+        a.join(b, on="blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            (F.col("a_n") * 10000 >= F.col("b_n") * thr)
+            & (F.col("b_n") * 10000 >= F.col("a_n") * thr)
+        )
+    )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for distinct token sets: one hash-build
+    # per pair instead of two
+    inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("long")
+    jac = inter.cast("double") / (F.col("a_n") + F.col("b_n") - inter).cast("double")
     return (
         pairs.withColumn("jac", jac)
         .filter(F.col("jac") >= threshold)
@@ -115,43 +137,63 @@ _DOC_FEATURES = StructType(
 )
 
 
+_MINHASH_MASKS = None
+
+
 def _doc_minhash_batch(texts: pd.Series) -> pd.DataFrame:
+    import numpy as np
     from hashlib import blake2b
+
+    global _MINHASH_MASKS
+    if _MINHASH_MASKS is None:
+        # splitmix64-style derived permutations of one strong base hash —
+        # one blake2b per shingle instead of 64 (10x cheaper, same
+        # collision behavior); min over (base ^ mask) * odd-constant
+        _MINHASH_MASKS = (
+            np.uint64(0x9E3779B97F4A7C15)
+            * np.arange(1, DOC_MINHASH_PERMS + 1, dtype=np.uint64)
+        )[:, None]
+    mult = np.uint64(0xBF58476D1CE4E5B9)
+    topbit = np.uint64(1 << 63)
 
     band_lists, sigs = [], []
     nb = DOC_MINHASH_PERMS // DOC_BAND_SIZE
-    for txt in texts:
-        toks = (txt or "").split()
-        if len(toks) < DOC_SHINGLE_WORDS:
-            shingle_set = {" ".join(toks)} if toks else set()
-        else:
-            shingle_set = {
-                " ".join(toks[i : i + DOC_SHINGLE_WORDS])
-                for i in range(len(toks) - DOC_SHINGLE_WORDS + 1)
-            }
-        if not shingle_set:
-            band_lists.append([])
-            sigs.append([])
-            continue
-        base = [
-            int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big")
-            for s in shingle_set
-        ]
-        # xor-shift derived permutations of one strong base hash — one blake2b
-        # per shingle instead of 64 (10x cheaper, same collision behavior)
-        sig = []
-        for seed in range(DOC_MINHASH_PERMS):
-            mask = (0x9E3779B97F4A7C15 * (seed + 1)) & ((1 << 64) - 1)
-            sig.append(min(((h ^ mask) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1) for h in base))
-        keys = []
-        for bidx in range(nb):
-            band = sig[bidx * DOC_BAND_SIZE : (bidx + 1) * DOC_BAND_SIZE]
-            d = blake2b(
-                (str(bidx) + "|" + "|".join(map(str, band))).encode(), digest_size=8
-            ).digest()
-            keys.append(int.from_bytes(d, "big") - (1 << 63))
-        band_lists.append(keys)
-        sigs.append([s - (1 << 63) for s in sig])
+    old = np.seterr(over="ignore")
+    try:
+        for txt in texts:
+            toks = (txt or "").split()
+            if len(toks) < DOC_SHINGLE_WORDS:
+                shingle_set = {" ".join(toks)} if toks else set()
+            else:
+                shingle_set = {
+                    " ".join(toks[i : i + DOC_SHINGLE_WORDS])
+                    for i in range(len(toks) - DOC_SHINGLE_WORDS + 1)
+                }
+            if not shingle_set:
+                band_lists.append([])
+                sigs.append([])
+                continue
+            base = np.fromiter(
+                (
+                    int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big")
+                    for s in shingle_set
+                ),
+                dtype=np.uint64,
+                count=len(shingle_set),
+            )
+            sig = ((base[None, :] ^ _MINHASH_MASKS) * mult).min(axis=1)
+            keys = []
+            for bidx in range(nb):
+                band = sig[bidx * DOC_BAND_SIZE : (bidx + 1) * DOC_BAND_SIZE]
+                d = blake2b(
+                    (str(bidx) + "|" + "|".join(map(str, band))).encode(), digest_size=8
+                ).digest()
+                keys.append(int.from_bytes(d, "big") - (1 << 63))
+            band_lists.append(keys)
+            # v - 2^63 as int64 == flip the top bit, reinterpret signed
+            sigs.append((sig ^ topbit).view(np.int64).tolist())
+    finally:
+        np.seterr(**old)
     return pd.DataFrame({"band_keys": band_lists, "sig": sigs})
 
 
@@ -207,19 +249,33 @@ def minhash_neardup_pairs(
 
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
+    import numpy as np
     from hashlib import blake2b
 
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    one = np.uint64(1)
     out = []
+    # per-executor token-hash memo: vocabularies repeat heavily across docs
+    memo: dict[str, int] = {}
     for txt in texts:
-        acc = [0] * 64
-        for tok in (txt or "").split():
-            h = int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "big")
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                v |= 1 << bit
+        toks = (txt or "").split()
+        if not toks:
+            out.append(-(1 << 63))
+            continue
+        hs = np.fromiter(
+            (
+                memo.get(t)
+                or memo.setdefault(
+                    t, int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big")
+                )
+                for t in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((hs[:, None] >> shifts) & one).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(toks)  # (+1/-1 vote sums)
+        v = int(((votes > 0).astype(np.uint64) << shifts[0]).sum())
         out.append(v - (1 << 63))
     return pd.Series(out)
 
@@ -275,18 +331,49 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with quantized-cosine >= threshold. Brute force —
     the oracle-checkable form; lsh_bucketed_ann is the blocked scale path.
-    Output: a_id, b_id, cos_x10000."""
-    v = embs.select(F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("v"))
-    v = v.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v")).cast("double")))
-    a = v.select(F.col("id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an"))
-    b = v.select(F.col("id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
-    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
-    cos = _dot(F.col("av"), F.col("bv")).cast("double") / (F.col("an") * F.col("bn"))
-    return (
-        pairs.withColumn("cos", cos)
-        .filter(F.col("cos") >= threshold)
-        .select("a_id", "b_id", F.round(F.col("cos") * 10000).cast("long").alias("cos_x10000"))
-    )
+    Output: a_id, b_id, cos_x10000.
+
+    Implementation: the (small) corpus matrix is broadcast; each partition
+    matmuls its row block against it with int64 numpy — exact integer dots
+    and IEEE sqrt/div, bit-identical to the SQL oracle's arithmetic, ~100x
+    the row-at-a-time zip_with expression. For corpora too big to broadcast,
+    block both sides (grid join on block ids) — same kernel."""
+    import numpy as np
+
+    spark = embs.sparkSession
+    rows = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    # HALF_UP quantization (floor(x+0.5) on magnitudes) matching Spark/DuckDB
+    # round(): np.round would be half-even
+    q = (np.sign(mat) * np.floor(np.abs(mat) * 1000.0 + 0.5)).astype(np.int64)
+    norms = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+    bq = spark.sparkContext.broadcast((ids, q, norms))
+    thr = float(threshold)
+
+    def _block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bids, bmat, bnorms = bq.value
+        for pdf in batches:
+            sel = np.isin(bids, pdf["id"].to_numpy())
+            a_idx = np.nonzero(sel)[0]
+            if len(a_idx) == 0:
+                continue
+            dots = bmat[a_idx] @ bmat.T  # int64 exact
+            cos = dots.astype(np.float64) / (bnorms[a_idx][:, None] * bnorms[None, :])
+            ai, bi = np.nonzero((cos >= thr) & (bids[a_idx][:, None] < bids[None, :]))
+            if len(ai) == 0:
+                continue
+            c = cos[ai, bi]
+            yield pd.DataFrame(
+                {
+                    "a_id": bids[a_idx][ai],
+                    "b_id": bids[bi],
+                    "cos_x10000": np.floor(c * 10000.0 + 0.5).astype(np.int64),
+                }
+            )
+
+    blocks = embs.select(F.col(id_col).alias("id")).repartition(32, "id")
+    return blocks.mapInPandas(_block, schema="a_id long, b_id long, cos_x10000 long")
 
 
 def ann_topk(

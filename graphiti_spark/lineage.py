@@ -51,8 +51,14 @@ class StageRunner:
         """build: () -> DataFrame. Returns the (possibly reloaded) output."""
         t0 = time.time()
         if self.dir is None:
-            df = build()
-            self.metrics.append({"stage": stage, "sec": round(time.time() - t0, 3)})
+            # in-memory mode: stage outputs are consumed by several
+            # downstream stages (and by self-joins) — persist once, spill
+            # to disk if needed, so the DAG is never recomputed per consumer
+            df = build().persist()
+            n = df.count()
+            self.metrics.append(
+                {"stage": stage, "sec": round(time.time() - t0, 3), "rows": n}
+            )
             return df
 
         path = os.path.join(self.dir, stage)

@@ -126,11 +126,11 @@ def run_pipeline(
     )
 
     resolved_triples = rewrite_pointers(raw_triples, name_resolution)
-    edges = runner.run(
-        "edges",
-        in_fp,
-        lambda: invalidate_contradictions(dedup_edges(resolved_triples), now),
-    )
+    # dedup and invalidation are separate stages: invalidation self-joins its
+    # input, so the deduped table must be materialized first or the whole
+    # upstream DAG runs twice
+    deduped = runner.run("edges_dedup", in_fp, lambda: dedup_edges(resolved_triples))
+    edges = runner.run("edges", in_fp, lambda: invalidate_contradictions(deduped, now))
     mentions = runner.run(
         "mentions", in_fp, lambda: build_mentions_table(raw_mentions, name_resolution)
     )
