@@ -156,6 +156,157 @@ def generate_web_pages(
     return rows
 
 
+# ---------------------------------------------------------------------------
+# Distributed datagen: page content is a pure function of (seed, page_id) so
+# the corpus can be generated inside executors (spark.range -> mapInPandas)
+# at any scale with zero driver upload, identically at every parallelism
+# level. The entity vocabulary grows with corpus size (like a real crawl),
+# which keeps per-(subject, predicate) edge density bounded.
+# ---------------------------------------------------------------------------
+
+_FIRST = [
+    "Alice", "Bob", "Carol", "David", "Emma", "Frank", "Grace", "Hiro", "Isabel",
+    "Jack", "Karen", "Liam", "Maria", "Noah", "Olga", "Paul", "Quinn", "Rosa",
+    "Sam", "Tara", "Uma", "Victor", "Wendy", "Xavier", "Yara", "Zoe", "Amir",
+    "Bela", "Chen", "Dara", "Egon", "Faye", "Gil", "Hana", "Ivo", "Jana",
+]
+_LAST = [
+    "Johnson", "Dylan", "Mendez", "Okafor", "Larsen", "Moreau", "Kim", "Tanaka",
+    "Costa", "Nguyen", "Steel", "Walsh", "Petrova", "Berg", "Ivanova", "Santos",
+    "Harper", "Diaz", "Patel", "Singh", "Rao", "Hugo", "Zhao", "Leroy",
+    "Haddad", "Martin", "Keller", "Novak", "Silva", "Weber", "Fontaine", "Ricci",
+]
+_ORG_A = [
+    "Acme", "Globex", "Initech", "Umbrella", "Stark", "Wayne", "Hooli", "Vandelay",
+    "Oscorp", "Tyrell", "Cyberdyne", "Nakatomi", "Wonka", "Duff", "Sirius",
+    "Gringotts", "Aperture", "BlackMesa", "Weyland", "Yutani", "Massive", "Rekall",
+]
+_ORG_B = ["Corp", "Inc", "Labs", "Systems", "Technologies", "Holdings", "Group", "Company"]
+_PLACE_A = [
+    "Spring", "Shelby", "Lake", "Crystal", "Iron", "Maple", "Cedar", "Port",
+    "Stone", "Sunny", "Raven", "Gold", "Silver", "North", "South", "Amber",
+]
+_PLACE_B = ["field", "ville", "view City", "Bay", "Valley", "County", "Springs", "town", "Island", "Park"]
+
+
+class ScaledVocab:
+    """Procedural entity vocabulary sized to the corpus (~1 person / 40
+    pages). Variant surface forms (case / punctuation) are attached to a
+    deterministic subset so exact + fuzzy dedup see real work at any scale."""
+
+    def __init__(self, n_pages: int, seed: int = 42):
+        rng = random.Random(f"vocab:{seed}")
+        n_person = min(len(_FIRST) * len(_LAST), max(40, n_pages // 40))
+        n_org = min(len(_ORG_A) * len(_ORG_B), max(12, n_pages // 120))
+        n_place = min(len(_PLACE_A) * len(_PLACE_B), max(10, n_pages // 200))
+
+        def sample_pairs(a, b, n):
+            combos = rng.sample([(x, y) for x in a for y in b], n)
+            return combos
+
+        self.persons = [f"{a} {b}" for a, b in sample_pairs(_FIRST, _LAST, n_person)]
+        self.orgs = []
+        for a, b in sample_pairs(_ORG_A, _ORG_B, n_org):
+            base = f"{a} {b}"
+            variants = [base]
+            r = random.Random(f"orgvar:{seed}:{base}")
+            if r.random() < 0.4:
+                variants.append(f"{a.upper()} {b}")      # exact-dup (case)
+            if r.random() < 0.4:
+                variants.append(f"{a}-{b}")               # fuzzy-dup (punct)
+            self.orgs.append(variants)
+        self.places = [f"{a}{b}" for a, b in sample_pairs(_PLACE_A, _PLACE_B, n_place)]
+
+    def pick_org(self, rng: random.Random) -> str:
+        # ~20% of references hit org 0 (the hub entity) for join skew
+        grp = self.orgs[0] if rng.random() < 0.2 else rng.choice(self.orgs)
+        return rng.choice(grp)
+
+
+def page_rows_for_index(
+    i: int,
+    vocab: ScaledVocab,
+    seed: int = 42,
+    n_groups: int = 16,
+    n_hosts: int = 64,
+    recrawl_fraction: float = 0.15,
+    nonen_fraction: float = 0.04,
+) -> list[dict]:
+    """All rows for page index i (the page + optionally its re-crawl) —
+    pure function of (seed, i, vocab), independent of every other index."""
+    rng = random.Random(f"page:{seed}:{i}")
+    group = f"g{i % n_groups}"
+    host = f"site{i % n_hosts}"
+    url = f"https://{host}.example/{group}/page{i}"
+    warc_ts = EPOCH + timedelta(minutes=i % (365 * 24 * 60))
+
+    def sentence() -> str:
+        tpl, _kind = rng.choice(_TEMPLATES)
+        d = f"2024-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+        p = rng.choice(vocab.persons)
+        p2 = rng.choice(vocab.persons)
+        while p2 == p:
+            p2 = rng.choice(vocab.persons)
+        return tpl.format(
+            p=p, p2=p2, o=vocab.pick_org(rng), o2=vocab.pick_org(rng),
+            l=rng.choice(vocab.places), d=d,
+        )
+
+    sents = [sentence() for _ in range(rng.randint(3, 8))]
+    if rng.random() < 0.3:
+        sents.insert(rng.randrange(len(sents) + 1), rng.choice(_FILLER))
+    mid = max(1, len(sents) // 2)
+    text = " ".join(sents[:mid]) + "\n\n" + " ".join(sents[mid:])
+    lang = "de" if rng.random() < nonen_fraction else "en"
+    rows = [
+        {
+            "url": url,
+            "warc_ts": warc_ts,
+            "html": render_html(text, title=f"{host} {group} {i}"),
+            "text": text,
+            "lang": lang,
+        }
+    ]
+    if rng.random() < recrawl_fraction:
+        p = rng.choice(vocab.persons)
+        new_org = vocab.pick_org(rng)
+        t2 = text + f" {p} works at {new_org}."
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": warc_ts + timedelta(days=30),
+                "html": render_html(t2, title=f"{host} {group} {i}"),
+                "text": t2,
+                "lang": lang,
+            }
+        )
+    return rows
+
+
+def distributed_pages(spark, n_pages: int, seed: int = 42, partitions: int | None = None):
+    """web_pages DataFrame generated inside executors — scalable to any
+    n_pages with no driver bottleneck; byte-identical at every parallelism
+    level because content derives only from (seed, page_id)."""
+    from graphiti_spark.schemas import WEB_PAGES
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism * 2, 16)
+
+    def gen(batches):
+        import pandas as pd
+
+        vocab = ScaledVocab(n_pages, seed)
+        for pdf in batches:
+            rows: list[dict] = []
+            for i in pdf["id"]:
+                rows.extend(page_rows_for_index(int(i), vocab, seed))
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_pages, numPartitions=parts)
+        .mapInPandas(gen, schema=WEB_PAGES)
+    )
+
+
 def write_web_pages_parquet(path: str, n_pages: int = 200, seed: int = 42) -> int:
     """Materialize the generator to a parquet file via pyarrow (no Spark)."""
     import pyarrow as pa

@@ -108,20 +108,28 @@ def extract_triples_df(episodes_df):
 # ---------------------------------------------------------------------------
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _name_features(nf: str) -> tuple[bool, tuple, tuple]:
+    """Per-executor memo: the same fuzzy name recurs across every group_id
+    partition, and the minhash is the only Python-hot kernel in dedup."""
+    high = K.has_high_entropy(nf)
+    if not high:
+        return False, (), ()
+    # normalize_fuzzy is idempotent, so band_keys(nf) == band_keys(raw)
+    return True, tuple(sorted(K.cached_shingles(nf))), tuple(K.band_keys(nf))
+
+
 @F.pandas_udf(schemas.NAME_FEATURES)
 def name_features_udf(fuzzy_name: pd.Series) -> pd.DataFrame:
     highs, shingle_lists, band_lists = [], [], []
     for nf in fuzzy_name:
-        nf = nf or ""
-        high = K.has_high_entropy(nf)
+        high, sh, bk = _name_features(nf or "")
         highs.append(high)
-        if high:
-            # normalize_fuzzy is idempotent, so band_keys(nf) == band_keys(raw)
-            shingle_lists.append(sorted(K.cached_shingles(nf)))
-            band_lists.append(K.band_keys(nf))
-        else:
-            shingle_lists.append([])
-            band_lists.append([])
+        shingle_lists.append(list(sh))
+        band_lists.append(list(bk))
     return pd.DataFrame(
         {"is_high_entropy": highs, "shingles": shingle_lists, "band_keys": band_lists}
     )
@@ -132,9 +140,39 @@ def name_features_udf(fuzzy_name: pd.Series) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_EMBED_FEAT_CACHE: dict[str, tuple[int, float]] = {}
+
+
+def _embed_fast(text: str, dim: int = EMBEDDING_DIM) -> list[float]:
+    """Bit-identical to extraction.embed_text (same features, same addition
+    order) with the per-feature blake2b memoized — corpora repeat tokens
+    massively, so the hash cost amortizes to ~zero per row."""
+    from hashlib import blake2b
+
+    vec = [0.0] * dim
+    cleaned = text.replace("\n", " ").lower()
+    feats = cleaned.split()
+    for tok in list(feats):
+        if len(tok) > 3:
+            feats.extend(tok[i : i + 3] for i in range(len(tok) - 2))
+    cache = _EMBED_FEAT_CACHE
+    for f in feats:
+        hit = cache.get(f)
+        if hit is None:
+            d = blake2b(f.encode("utf-8"), digest_size=8).digest()
+            hit = (int.from_bytes(d[:4], "big") % dim, 1.0 if d[4] & 1 else -1.0)
+            if len(cache) < 2_000_000:
+                cache[f] = hit
+        vec[hit[0]] += hit[1]
+    norm = sum(v * v for v in vec) ** 0.5
+    if norm == 0.0:
+        return vec
+    return [v / norm for v in vec]
+
+
 @F.pandas_udf(ArrayType(FloatType()))
 def embed_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: embed_text(t or "", EMBEDDING_DIM))
+    return text.map(lambda t: _embed_fast(t or "", EMBEDDING_DIM))
 
 
 # ---------------------------------------------------------------------------

@@ -52,13 +52,11 @@ class StageRunner:
         t0 = time.time()
         if self.dir is None:
             # in-memory mode: stage outputs are consumed by several
-            # downstream stages (and by self-joins) — persist once, spill
-            # to disk if needed, so the DAG is never recomputed per consumer
+            # downstream stages (and by self-joins) — persist (lazily: the
+            # first consumer materializes the cache) so the DAG is never
+            # recomputed per consumer and no extra action is spent per stage
             df = build().persist()
-            n = df.count()
-            self.metrics.append(
-                {"stage": stage, "sec": round(time.time() - t0, 3), "rows": n}
-            )
+            self.metrics.append({"stage": stage, "sec": round(time.time() - t0, 3)})
             return df
 
         path = os.path.join(self.dir, stage)

@@ -26,13 +26,41 @@ from pyspark.sql import functions as F
 MAX_ROUNDS = 25
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+DRIVER_CC_MAX_PAIRS = 1_000_000
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_rounds: int = MAX_ROUNDS,
+    driver_threshold: int = DRIVER_CC_MAX_PAIRS,
+) -> DataFrame:
     """pairs(a string, b string) -> (id string, canonical string).
 
     Undirected; canonical = min member (ref UnionFind ordering rule).
     Only ids that occur in `pairs` appear in the output, matching
     `compress_uuid_map` (bulk_utils.py:541-550).
+
+    Scale-adaptive (analogous to Catalyst's broadcast-join selection): when
+    the pair list fits comfortably on the driver it runs the exact
+    reference union-find in-process (one job, no iterative shuffles); above
+    the threshold it switches to distributed min-label propagation with
+    pointer jumping. Both produce the identical min-member canonical map.
     """
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        from graphiti_spark.kernels import min_uuid_map
+
+        mapping = min_uuid_map([(r["a"], r["b"]) for r in pairs.collect()])
+        pairs.unpersist()
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            list(mapping.items()), schema="id string, canonical string"
+        )
+    return _distributed_cc(pairs, max_rounds)
+
+
+def _distributed_cc(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -69,7 +97,9 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
                     F.coalesce(F.col("jump_label"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below materializes the checkpoint,
+            # so each round costs exactly one job
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

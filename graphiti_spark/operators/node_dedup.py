@@ -83,13 +83,13 @@ def fuzzy_duplicate_pairs(keys: DataFrame) -> DataFrame:
         "pre_id",
         "shingles",
         F.posexplode("band_keys").alias("band_pos", "band_key"),
-    )
+    ).persist()  # consumed by the size aggregation AND the pair join
     # cap pathological buckets (hub-name skew guard)
     bucket_sizes = banded.groupBy("group_id", "band_pos", "band_key").count()
     banded = banded.join(
         bucket_sizes.filter(F.col("count") <= LSH_BUCKET_CAP).drop("count"),
         on=["group_id", "band_pos", "band_key"],
-    )
+    ).persist()  # both sides of the self-join below read this
     a = banded.select(
         "group_id",
         "band_pos",

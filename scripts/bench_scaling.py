@@ -1,0 +1,135 @@
+"""Scaling-efficiency evidence: same KG-construction job, same input, at
+local[8] (N) and local[32] (4N) — the in-sandbox proxy for the north rule's
+N vs 4N executor clusters. Prints one JSON line and (with --update) appends
+the result table to BASELINE.md.
+
+Each parallelism level runs in a fresh subprocess (fresh JVM) with 1
+warm-up + `--runs` measured runs; the reported figure is the median
+triples/sec. Efficiency = (thr_4N / thr_N) / 4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+WORKER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, "/root/repo")
+from __spark_entry__ import _FIXED_NOW
+from graphiti_spark.session import get_spark
+from graphiti_spark.pipeline import run_pipeline
+
+cpus = int(os.environ["SCALE_CPUS"])
+n_pages = int(os.environ["SCALE_PAGES"])
+runs = int(os.environ["SCALE_RUNS"])
+
+spark = get_spark("scale", master=f"local[{cpus}]")
+spark.sparkContext.setLogLevel("ERROR")
+
+# materialize the corpus to parquet first (excluded from the measured
+# window): the north-rule job reads a pre-existing Iceberg/parquet table,
+# so the measured pipeline starts from a disk scan like production would
+from graphiti_spark.datagen import distributed_pages
+pages_dir = os.environ.get("SCALE_PAGES_DIR") or tempfile.mkdtemp(prefix="graphiti_pages_")
+marker = os.path.join(pages_dir, "_SUCCESS")
+if not os.path.exists(marker):
+    distributed_pages(spark, n_pages, seed=42, partitions=max(cpus * 2, 16)) \
+        .write.mode("overwrite").parquet(pages_dir)
+pages = spark.read.parquet(pages_dir)
+
+results = []
+for i in range(runs + 1):  # first run = warm-up
+    out_dir = tempfile.mkdtemp(prefix="graphiti_scale_")
+    t0 = time.time()
+    res = run_pipeline(spark, pages, now=_FIXED_NOW)
+    for name in ("nodes", "edges", "mentions"):
+        res[name].write.mode("overwrite").parquet(os.path.join(out_dir, name))
+    sec = time.time() - t0
+    n_triples = spark.read.parquet(os.path.join(out_dir, "edges")).count()
+    for df in res.values():
+        if hasattr(df, "unpersist"):
+            df.unpersist()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    if i > 0:
+        results.append({"sec": sec, "triples": n_triples})
+print("WORKER_RESULT " + json.dumps({"cpus": cpus, "runs": results}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, pages: int, runs: int, pages_dir: str) -> dict:
+    env = dict(os.environ)
+    env.update(
+        {
+            "SCALE_CPUS": str(cpus),
+            "SCALE_PAGES": str(pages),
+            "SCALE_RUNS": str(runs),
+            "SCALE_PAGES_DIR": pages_dir,
+            "SPARK_GRAFT_SHUFFLE": str(max(cpus * 2, 16)),
+        }
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=3000
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("WORKER_RESULT "):
+            return json.loads(line[len("WORKER_RESULT "):])
+    raise RuntimeError(f"worker local[{cpus}] failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=20000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--update", action="store_true", help="append results to BASELINE.md")
+    args = ap.parse_args()
+
+    import tempfile
+
+    pages_dir = os.path.join(tempfile.gettempdir(), f"graphiti_scale_pages_{args.pages}")
+    lo = run_level(args.n, args.pages, args.runs, pages_dir)
+    hi = run_level(args.n * 4, args.pages, args.runs, pages_dir)
+
+    def median_thr(level: dict) -> tuple[float, int]:
+        secs = [r["sec"] for r in level["runs"]]
+        triples = level["runs"][0]["triples"]
+        med = statistics.median(secs)
+        return triples / med, triples
+
+    thr_lo, triples = median_thr(lo)
+    thr_hi, _ = median_thr(hi)
+    eff = (thr_hi / thr_lo) / 4.0
+    out = {
+        "pages": args.pages,
+        "triples": triples,
+        "n_cpus": args.n,
+        "n4_cpus": args.n * 4,
+        "sec_n": [round(r["sec"], 2) for r in lo["runs"]],
+        "sec_4n": [round(r["sec"], 2) for r in hi["runs"]],
+        "triples_per_sec_n": round(thr_lo, 1),
+        "triples_per_sec_4n": round(thr_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(out))
+
+    if args.update:
+        with open("/root/repo/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## Measured scaling (local[{args.n}] vs local[{args.n*4}], "
+                f"{args.pages} pages, {triples} triples)\n\n"
+                f"| parallelism | wall sec (runs) | triples/sec |\n|---|---|---|\n"
+                f"| local[{args.n}] | {out['sec_n']} | {out['triples_per_sec_n']} |\n"
+                f"| local[{args.n*4}] | {out['sec_4n']} | {out['triples_per_sec_4n']} |\n\n"
+                f"**Scaling efficiency = (thr_4N / thr_N) / 4 = "
+                f"{out['scaling_efficiency']}** (target >= 0.8)\n"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,9 +8,16 @@ from graphiti_spark.operators.connected_components import connected_components
 
 def _run(spark, pairs):
     df = spark.createDataFrame(pairs, schema="a string, b string")
-    got = {r["id"]: r["canonical"] for r in connected_components(df).collect()}
     want = min_uuid_map(pairs)
+    # driver-side (small) path
+    got = {r["id"]: r["canonical"] for r in connected_components(df).collect()}
     assert got == want
+    # distributed min-label-propagation path (forced)
+    got_dist = {
+        r["id"]: r["canonical"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_cc_chain(spark):

@@ -1,0 +1,133 @@
+"""Training-data ops: dedup family, ANN, text analysis, multimodal
+plumbing — vs numpy/python oracles."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from graphiti_spark import dataops as D
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog today", "en"),
+    (1, "the quick brown fox jumps over the lazy dog today", "en"),       # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat today", "en"),       # near dup of 0
+    (3, "completely different content about spark and iceberg tables", "en"),
+    (4, "der schnelle braune fuchs springt heute", "de"),
+    (5, "the quick brown fox jumps over the lazy dog yesterday maybe", "en"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, schema="doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark):
+    rows = {r["fp"]: (r["keeper_id"], r["n_copies"]) for r in D.exact_dedup(_docs(spark)).collect()}
+    assert len(rows) == 5  # 6 docs, one exact pair
+    assert (0, 2) in rows.values()
+
+
+def test_normalized_fingerprint_collapses_whitespace(spark):
+    df = spark.createDataFrame(
+        [(0, "a  b\tc"), (1, "A b C"), (2, "other")], schema="doc_id long, text string"
+    )
+    fps = {r["id"]: r["fp"] for r in D.normalized_fingerprint(df).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_token_jaccard_pairs(spark):
+    got = {(r["a_id"], r["b_id"]): r["jac_x10000"] for r in
+           D.token_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert got[(0, 1)] == 10000  # identical token sets
+    assert (0, 2) in got and 5000 < got[(0, 2)] < 10000
+    assert not any(a == 3 or b == 3 for a, b in got)
+
+
+def test_minhash_detects_duplicates(spark):
+    got = {(r["a_id"], r["b_id"]): r["est_jac"] for r in
+           D.minhash_neardup_pairs(_docs(spark), threshold=0.5).collect()}
+    assert got.get((0, 1)) == 1.0
+    assert (0, 3) not in got
+
+
+def test_simhash_hamming(spark):
+    rows = {(r["a_id"], r["b_id"]): r["hamming"] for r in
+            D.simhash_neardup_pairs(_docs(spark), max_hamming=10).collect()}
+    assert rows.get((0, 1)) == 0  # identical text -> identical simhash
+    assert (0, 2) in rows  # one-token change -> small hamming
+    assert (0, 3) not in rows
+
+
+def test_ann_topk_vs_numpy(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(30)], schema="vec_id long, embedding array<float>"
+    )
+    got = {}
+    for r in D.ann_topk(df, n_queries=2, k=5).collect():
+        got.setdefault(r["q_id"], []).append((r["rnk"], r["c_id"]))
+    # numpy oracle with identical quantization
+    q = np.sign(vecs) * np.floor(np.abs(vecs.astype(np.float64)) * 1000 + 0.5)
+    norms = np.sqrt((q * q).sum(axis=1))
+    cos = (q @ q.T) / np.outer(norms, norms)
+    for qi in (0, 1):
+        order = sorted(range(2, 30), key=lambda c: (-cos[qi, c], c))[:5]
+        want = [(i + 1, c) for i, c in enumerate(order)]
+        assert sorted(got[qi]) == want, qi
+
+
+def test_embedding_neardup_pairs(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, schema="vec_id long, embedding array<float>")
+    got = {(r["a_id"], r["b_id"]) for r in D.embedding_neardup_pairs(df, threshold=0.9).collect()}
+    assert got == {(0, 1)}
+
+
+def test_lang_id(spark):
+    rows = {r["id"]: r for r in D.lang_id(_docs(spark)).collect()}
+    assert rows[0]["predicted_lang"] == "en"
+    assert rows[4]["predicted_lang"] == "other"  # German text, no en stopwords
+
+
+def test_quality_scores(spark):
+    rows = {r["id"]: r for r in D.quality_scores(_docs(spark)).collect()}
+    assert rows[0]["n_tokens"] == 10
+    assert rows[0]["n_uniq_tokens"] == 9  # 'the' twice
+    assert rows[0]["uniq_ratio_x1e6"] == 900000
+
+
+def test_token_stats(spark):
+    rows = {(r["lang"],): r for r in D.token_stats(_docs(spark), ["lang"]).collect()}
+    assert rows[("de",)]["n_docs"] == 1
+    assert rows[("de",)]["total_tokens"] == 6
+    assert rows[("en",)]["n_docs"] == 5
+
+
+def test_media_metadata_plumbing(spark):
+    rows = [
+        (1, bytes([0xFF, 0xD8]) + b"rest-of-jpeg"),
+        (2, b"\x89PNG\r\n\x1a\n" + b"png-body"),
+        (3, b"plain bytes"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, schema="media_id long, blob binary")
+    got = {r["media_id"]: r for r in D.media_metadata(df).collect()}
+    assert got[1]["format"] == "jpeg" and got[1]["n_bytes"] == 14
+    assert got[2]["format"] == "png"
+    assert got[3]["format"] == "unknown"
+    assert got[4]["n_bytes"] == 0
+
+
+def test_decode_media_is_stubbed(spark):
+    df = spark.createDataFrame([(1, b"x")], schema="media_id long, blob binary")
+    try:
+        D.decode_media(df)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass

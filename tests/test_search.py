@@ -1,0 +1,138 @@
+"""Q1-Q7/Q11 — read-side search operators vs hand-computed oracles."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from graphiti_spark import search as S
+
+DOCS = [
+    (1, "spark join window hash join"),
+    (2, "window window window"),
+    (3, "hash table scan"),
+    (4, "spark spark spark join"),
+    (5, "totally unrelated words here"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, schema="doc_id long, text string")
+
+
+def _python_bm25(query_terms, k1=S.BM25_K1, b=S.BM25_B):
+    toks = {d: t.split() for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for term in query_terms:
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for d, v in toks.items():
+            tf = v.count(term)
+            if tf == 0:
+                continue
+            out[(d, term)] = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+    return out
+
+
+def test_bm25_term_scores(spark):
+    got = {
+        (r["doc"], r["term"]): r["score"]
+        for r in S.bm25_term_scores(_docs_df(spark), "doc_id", "text", ["spark", "join", "window"]).collect()
+    }
+    want = _python_bm25(["spark", "join", "window"])
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_bm25_search_ranking(spark):
+    rows = S.bm25_search(_docs_df(spark), "doc_id", "text", "spark join", limit=3).collect()
+    want = _python_bm25(["spark", "join"])
+    scores = {}
+    for (d, _t), s in want.items():
+        scores[d] = scores.get(d, 0.0) + s
+    expect = sorted(scores, key=lambda d: (-scores[d], d))[:3]
+    assert [r["doc"] for r in rows] == expect
+
+
+def test_rrf(spark):
+    r1 = spark.createDataFrame([("a", 1), ("b", 2)], schema="uuid string, rank long")
+    r2 = spark.createDataFrame([("b", 1), ("a", 2)], schema="uuid string, rank long")
+    got = {r["uuid"]: r["score"] for r in S.rrf([r1, r2]).collect()}
+    assert abs(got["a"] - (1.0 + 0.5)) < 1e-12
+    assert abs(got["b"] - (0.5 + 1.0)) < 1e-12
+
+
+def test_bfs_depths(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        schema="src string, dst string",
+    )
+    origins = spark.createDataFrame([("a",)], ["id"])
+    got = {r["id"]: r["depth"] for r in S.bfs(edges, origins, max_depth=3).collect()}
+    # depth capped at 3: e (depth 4) not reached; x/y disconnected
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_cosine_topk(spark):
+    q = spark.createDataFrame([("q1", [1.0, 0.0])], schema="q_id string, q_vec array<float>")
+    c = spark.createDataFrame(
+        [("c1", [1.0, 0.0]), ("c2", [0.0, 1.0]), ("c3", [0.7, 0.7])],
+        schema="c_id string, c_vec array<float>",
+    )
+    rows = S.cosine_topk(q, c, k=2).collect()
+    assert [r["c_id"] for r in rows] == ["c1", "c3"]
+    assert abs(rows[0]["cos"] - 1.0) < 1e-9
+    assert abs(rows[1]["cos"] - math.sqrt(0.5)) < 1e-3
+
+
+def test_mmr_diversifies(spark):
+    # c1 and c2 are identical vectors; plain relevance ranks them 1-2, but
+    # MMR must pick the diverse c3 second
+    cands = spark.createDataFrame(
+        [
+            ("q", "c1", 1.0, [1.0, 0.0]),
+            ("q", "c2", 0.99, [1.0, 0.0]),
+            ("q", "c3", 0.5, [0.0, 1.0]),
+        ],
+        schema="q_id string, c_id string, rel double, emb array<float>",
+    )
+    rows = sorted(S.mmr_rerank(cands, k=3).collect(), key=lambda r: r["mmr_rank"])
+    assert [r["c_id"] for r in rows] == ["c1", "c3", "c2"]
+
+
+def test_node_distance_rerank(spark):
+    edges = spark.createDataFrame([("center", "n1"), ("n1", "n2")], schema="src string, dst string")
+    cands = spark.createDataFrame([("center",), ("n1",), ("n2",), ("far",)], ["uuid"])
+    got = {r["uuid"]: r["score"] for r in S.node_distance_rerank(cands, edges, "center").collect()}
+    assert got["center"] == 10.0  # 1/0.1 like the reference
+    assert got["n1"] == 1.0
+    assert got["n2"] == 0.5
+    assert got["far"] == 0.0
+
+
+def test_episode_mentions_rerank(spark):
+    mentions = spark.createDataFrame(
+        [("e1", "n1"), ("e2", "n1"), ("e1", "n2")],
+        schema="source_node_uuid string, target_node_uuid string",
+    )
+    cands = spark.createDataFrame([("n1",), ("n2",), ("n3",)], ["uuid"])
+    rows = S.episode_mentions_rerank(cands, mentions).collect()
+    assert [(r["uuid"], r["score"]) for r in rows] == [("n1", 2.0), ("n2", 1.0), ("n3", 0.0)]
+
+
+def test_compile_filters(spark):
+    df = spark.createDataFrame(
+        [("a", 1, None), ("b", 5, "x"), ("c", 9, "y")],
+        schema="uuid string, n long, tag string",
+    )
+    # (n > 3 AND tag IS NOT NULL) OR (n = 1)
+    pred = S.compile_filters([[("n", ">", 3), ("tag", "IS NOT NULL", None)], [("n", "=", 1)]])
+    got = sorted(r["uuid"] for r in df.filter(pred).collect())
+    assert got == ["a", "b", "c"]
+    pred2 = S.compile_filters([[("tag", "IS NULL", None)]])
+    assert [r["uuid"] for r in df.filter(pred2).collect()] == ["a"]
+    assert df.filter(S.compile_filters([])).count() == 3

@@ -1,0 +1,94 @@
+"""S4-S6, S10-S11 — store semantics: merge upsert, episode windows,
+cascade delete."""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.store import (
+    ParquetStore,
+    previous_episodes_bulk,
+    remove_episode,
+    retrieve_episodes,
+)
+
+
+def ts(h):
+    return datetime(2024, 1, 1, h, tzinfo=timezone.utc)
+
+
+def test_merge_upsert(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [("u1", "g", "a"), ("u2", "g", "b")], schema="uuid string, group_id string, v string"
+    )
+    store.merge_upsert("nodes", base)
+    upd = spark.createDataFrame(
+        [("u2", "g", "B2"), ("u3", "g", "c")], schema="uuid string, group_id string, v string"
+    )
+    store.merge_upsert("nodes", upd)
+    got = {r["uuid"]: r["v"] for r in store.read("nodes").collect()}
+    assert got == {"u1": "a", "u2": "B2", "u3": "c"}
+    # idempotent re-apply
+    store.merge_upsert("nodes", upd)
+    assert {r["uuid"]: r["v"] for r in store.read("nodes").collect()} == got
+
+
+def test_delete_group(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [("u1", "g1"), ("u2", "g2")], schema="uuid string, group_id string"
+    )
+    store.overwrite("nodes", df)
+    store.delete_group(["g1"])
+    assert [r["uuid"] for r in store.read("nodes").collect()] == ["u2"]
+
+
+def _episodes(spark):
+    rows = [
+        (f"e{i}", "g1" if i < 4 else "g2", "text", ts(i)) for i in range(6)
+    ]
+    return spark.createDataFrame(
+        rows, schema="uuid string, group_id string, source string, valid_at timestamp"
+    )
+
+
+def test_retrieve_episodes_window(spark):
+    eps = _episodes(spark)
+    got = retrieve_episodes(eps, ts(5), last_n=2).collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["group_id"], []).append(r["uuid"])
+    # last 2 with valid_at <= ts(5), chronological: g1 -> e2,e3; g2 -> e4,e5
+    assert by_group == {"g1": ["e2", "e3"], "g2": ["e4", "e5"]}
+
+
+def test_previous_episodes_bulk(spark):
+    eps = _episodes(spark)
+    got = {r["uuid"]: r["prev_uuids"] for r in previous_episodes_bulk(eps, last_n=2).collect()}
+    assert got["e0"] == []
+    assert got["e1"] == ["e0"]
+    assert got["e3"] == ["e2", "e1"]  # most recent first
+    assert got["e5"] == ["e4"]
+
+
+def test_remove_episode_cascade(spark):
+    eps = _episodes(spark)
+    nodes = spark.createDataFrame(
+        [("n1", "g1"), ("n2", "g1")], schema="uuid string, group_id string"
+    )
+    edges = spark.createDataFrame(
+        [("ed1", "g1", ["e1", "e2"]), ("ed2", "g1", ["e2", "e1"])],
+        schema="uuid string, group_id string, episodes array<string>",
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "g1", "e1", "n1"), ("m2", "g1", "e1", "n2"), ("m3", "g1", "e2", "n2")],
+        schema="uuid string, group_id string, source_node_uuid string, target_node_uuid string",
+    )
+    out = remove_episode(eps, nodes, edges, mentions, "e1")
+    assert "e1" not in {r["uuid"] for r in out["episodes"].collect()}
+    # ed1 was created by e1 (first provenance) -> deleted; ed2 kept
+    assert {r["uuid"] for r in out["edges"].collect()} == {"ed2"}
+    # n1 mentioned only by e1 -> deleted; n2 also mentioned by e2 -> kept
+    assert {r["uuid"] for r in out["nodes"].collect()} == {"n2"}
+    assert {r["uuid"] for r in out["mentions"].collect()} == {"m3"}
