@@ -102,6 +102,81 @@ def extract_triples_df(episodes_df):
     return episodes_df.select(*cols).mapInPandas(triples_map, schema=schemas.RAW_TRIPLES)
 
 
+# fused single-pass extraction: mentions AND triples from one scan of the
+# episode content (kind = 'm' | 't'), so the corpus is read and shipped to
+# Python exactly once
+
+
+def extract_all_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        cols = {
+            k: []
+            for k in (
+                "kind", "episode_uuid", "group_id", "ep_valid_at",
+                "name", "entity_type", "mention_idx",
+                "subject", "predicate", "object", "fact", "valid_at", "invalid_at",
+                "triple_idx",
+            )
+        }
+
+        def base(kind, ep_uuid, group, ts):
+            cols["kind"].append(kind)
+            cols["episode_uuid"].append(ep_uuid)
+            cols["group_id"].append(group)
+            cols["ep_valid_at"].append(ts)
+
+        for ep_uuid, group, ts, content in zip(
+            pdf["episode_uuid"], pdf["group_id"], pdf["ep_valid_at"], pdf["content"]
+        ):
+            text = content or ""
+            for idx, m in enumerate(extract_mentions(text)):
+                base("m", ep_uuid, group, ts)
+                cols["name"].append(m["name"])
+                cols["entity_type"].append(m["entity_type"])
+                cols["mention_idx"].append(idx)
+                for k in ("subject", "predicate", "object", "fact", "valid_at", "invalid_at"):
+                    cols[k].append(None)
+                cols["triple_idx"].append(None)
+            ref_time = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            for t_idx, t in enumerate(extract_triples(text, ref_time)):
+                base("t", ep_uuid, group, ts)
+                cols["name"].append(None)
+                cols["entity_type"].append(None)
+                cols["mention_idx"].append(None)
+                cols["subject"].append(t["subject"])
+                cols["predicate"].append(t["predicate"])
+                cols["object"].append(t["object"])
+                cols["fact"].append(t["fact"])
+                cols["valid_at"].append(t["valid_at"])
+                cols["invalid_at"].append(t["invalid_at"])
+                cols["triple_idx"].append(t_idx)
+        out = pd.DataFrame(cols)
+        for c in ("valid_at", "invalid_at"):
+            out[c] = pd.to_datetime(out[c], utc=True)
+        for c in ("mention_idx", "triple_idx"):
+            out[c] = out[c].astype("Int64")
+        yield out
+
+
+def extract_all_df(episodes_df):
+    cols = ["episode_uuid", "group_id", "ep_valid_at", "content"]
+    return episodes_df.select(*cols).mapInPandas(extract_all_map, schema=schemas.RAW_EXTRACTION)
+
+
+def split_extraction(raw_all):
+    """(raw_mentions, raw_triples) views over the fused extraction table."""
+    from pyspark.sql import functions as F
+
+    m = raw_all.filter(F.col("kind") == "m").select(
+        "episode_uuid", "group_id", "ep_valid_at", "name", "entity_type", "mention_idx"
+    )
+    t = raw_all.filter(F.col("kind") == "t").select(
+        "episode_uuid", "group_id", "ep_valid_at", "subject", "predicate", "object",
+        "fact", "valid_at", "invalid_at", "triple_idx",
+    )
+    return m, t
+
+
 # ---------------------------------------------------------------------------
 # D3-D6 — per-name dedup features (entropy gate, shingles, LSH band keys)
 # input: fuzzy-normalized name (normalize happens JVM-side, see normalize_*)

@@ -51,12 +51,16 @@ class StageRunner:
         """build: () -> DataFrame. Returns the (possibly reloaded) output."""
         t0 = time.time()
         if self.dir is None:
-            # in-memory mode: stage outputs are consumed by several
-            # downstream stages (and by self-joins) — persist (lazily: the
-            # first consumer materializes the cache) so the DAG is never
-            # recomputed per consumer and no extra action is spent per stage
+            # in-memory mode: persist + EAGER count. Downstream actions
+            # reference these frames twice (self-joins, subj/obj map joins);
+            # materializing lazily would let both branches race to populate
+            # the same cache blocks — duplicated upstream computation plus
+            # block-lock contention that grows with core count.
             df = build().persist()
-            self.metrics.append({"stage": stage, "sec": round(time.time() - t0, 3)})
+            n = df.count()
+            self.metrics.append(
+                {"stage": stage, "sec": round(time.time() - t0, 3), "rows": n}
+            )
             return df
 
         path = os.path.join(self.dir, stage)

@@ -46,17 +46,15 @@ def connected_components(
     the threshold it switches to distributed min-label propagation with
     pointer jumping. Both produce the identical min-member canonical map.
     """
-    pairs = pairs.persist()
-    n_pairs = pairs.count()
-    if n_pairs <= driver_threshold:
+    # single probe job: fetch at most threshold+1 pairs — if they all fit,
+    # we already hold the data for the driver-side path (no count + collect)
+    sample = pairs.limit(driver_threshold + 1).collect() if driver_threshold > 0 else []
+    if 0 < driver_threshold and len(sample) <= driver_threshold:
         from graphiti_spark.kernels import min_uuid_map
 
-        mapping = min_uuid_map([(r["a"], r["b"]) for r in pairs.collect()])
-        pairs.unpersist()
+        mapping = min_uuid_map([(r["a"], r["b"]) for r in sample])
         spark = pairs.sparkSession
-        return spark.createDataFrame(
-            list(mapping.items()), schema="id string, canonical string"
-        )
+        return spark.createDataFrame(list(mapping.items()), schema="id string, canonical string")
     return _distributed_cc(pairs, max_rounds)
 
 

@@ -84,12 +84,14 @@ def fuzzy_duplicate_pairs(keys: DataFrame) -> DataFrame:
         "shingles",
         F.posexplode("band_keys").alias("band_pos", "band_key"),
     ).persist()  # consumed by the size aggregation AND the pair join
+    banded.count()  # eager: both consumers appear in one downstream action
     # cap pathological buckets (hub-name skew guard)
     bucket_sizes = banded.groupBy("group_id", "band_pos", "band_key").count()
     banded = banded.join(
         bucket_sizes.filter(F.col("count") <= LSH_BUCKET_CAP).drop("count"),
         on=["group_id", "band_pos", "band_key"],
     ).persist()  # both sides of the self-join below read this
+    banded.count()
     a = banded.select(
         "group_id",
         "band_pos",
@@ -118,13 +120,87 @@ def fuzzy_duplicate_pairs(keys: DataFrame) -> DataFrame:
     ).select("a", "b")
 
 
-def resolve_names(raw_mentions: DataFrame) -> DataFrame:
+def resolve_names(raw_mentions: DataFrame, existing_nodes: DataFrame | None = None) -> DataFrame:
     """Global canonicalization map: one row per distinct (group_id, name key).
 
     Returns name_resolution(group_id, norm_exact, name, entity_types,
     canonical_id) — the D15 pointer-rewrite map.
+
+    With `existing_nodes` (the current canonical nodes snapshot: uuid,
+    group_id, name, aliases) this is the reference's D11 — new mentions
+    resolve AGAINST the existing graph: exact alias hits adopt the existing
+    uuid outright; fuzzy pairs may link a new name into an existing
+    component, and the existing uuid always wins as canonical (the directed
+    alias->canonical rule of bulk_utils.py:72-101 — an established node is
+    never re-pointed at a new one).
     """
     keys = name_keys(raw_mentions)
+
+    if existing_nodes is not None:
+        ex_keys = (
+            existing_nodes.select(
+                "group_id",
+                F.col("uuid").alias("ex_uuid"),
+                "name",
+                F.explode("aliases").alias("norm_exact"),
+            )
+        )
+        # exact alias hit: adopt the existing canonical uuid directly
+        keys = keys.join(
+            ex_keys.select("group_id", "norm_exact", "ex_uuid"),
+            on=["group_id", "norm_exact"],
+            how="left",
+        )
+        # names not exactly known enter the fuzzy pool together with the
+        # existing nodes' primary keys so LSH can link new->existing
+        ex_pool = (
+            ex_keys.groupBy("group_id", "ex_uuid")
+            .agg(F.min("name").alias("name"), F.min("norm_exact").alias("norm_exact"))
+            .select(
+                "group_id",
+                "norm_exact",
+                "name",
+                F.array().cast("array<string>").alias("entity_types"),
+                F.col("ex_uuid").alias("pre_id"),
+            )
+        )
+        new_pool = keys.filter(F.col("ex_uuid").isNull()).select(
+            "group_id", "norm_exact", "name", "entity_types", "pre_id"
+        )
+        pairs = fuzzy_duplicate_pairs(new_pool.unionByName(ex_pool))
+        # existing uuids must win as canonical: prefix-priority remap — an
+        # existing id sorts before any content-hash pre_id via a marker
+        ex_ids = existing_nodes.select(F.col("uuid").alias("id")).distinct()
+        canon = connected_components(pairs)
+        # choose per component: min existing member if any, else min member
+        member_flag = canon.join(
+            ex_ids.withColumn("is_ex", F.lit(1)), on="id", how="left"
+        )
+        comp_best = (
+            member_flag.groupBy("canonical")
+            .agg(
+                F.min(F.when(F.col("is_ex") == 1, F.col("id"))).alias("best_ex"),
+                F.min("id").alias("best_any"),
+            )
+            .select(
+                "canonical",
+                F.coalesce(F.col("best_ex"), F.col("best_any")).alias("final_canon"),
+            )
+        )
+        canon = canon.join(comp_best, on="canonical").select(
+            "id", F.col("final_canon").alias("canonical")
+        )
+        resolved = keys.join(canon, keys.pre_id == canon.id, how="left").select(
+            "group_id",
+            "norm_exact",
+            "name",
+            "entity_types",
+            F.coalesce(F.col("ex_uuid"), F.col("canonical"), F.col("pre_id")).alias(
+                "canonical_id"
+            ),
+        )
+        return resolved
+
     pairs = fuzzy_duplicate_pairs(keys)
     canon = connected_components(pairs)  # (id, canonical) for paired ids only
 

@@ -1,0 +1,67 @@
+"""Explicit hub-key salting (north-rule requirement) — used where a join
+key is dominated by a few hub entities (high-degree URLs / organizations)
+and the small side cannot be broadcast.
+
+Strategy (classic split-hot-keys salting, complementary to AQE's skew-join
+splitting which only helps sort-merge joins AQE can observe):
+
+1. count left-side keys; keys with count > hot_threshold are "hot"
+   (collected — by construction there are few of them);
+2. cold keys join normally;
+3. hot keys: the LEFT side gets a salt column pmod(xxhash64(salt_col), S)
+   so each hot key's rows spread over S shuffle partitions; the RIGHT side
+   is replicated S times (explode over the salt range);
+4. union cold + hot results.
+
+The result is row-identical to the plain join — verified by
+tests/test_skew.py — while the per-task row count for a hot key drops by S.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 8
+DEFAULT_HOT_THRESHOLD = 10_000
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_col: str,
+    how: str = "inner",
+    num_salts: int = DEFAULT_SALT,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+) -> DataFrame:
+    """Join `left` and `right` on `on`, salting keys that are hot on the
+    left side. `salt_col` must be a left-side column whose hash spreads a
+    hot key's rows (e.g. the row uuid). Only inner/left joins supported.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+
+    counts = left.groupBy(*on).count()
+    hot_keys = counts.filter(F.col("count") > hot_threshold).drop("count").persist()
+    n_hot = hot_keys.count()
+    if n_hot == 0:
+        hot_keys.unpersist()
+        return left.join(right, on=on, how=how)
+
+    hk = F.broadcast(hot_keys)
+    left_hot = left.join(hk, on=on, how="left_semi")
+    left_cold = left.join(hk, on=on, how="left_anti")
+    right_hot = right.join(hk, on=on, how="left_semi")
+    right_cold = right.join(hk, on=on, how="left_anti")
+
+    cold = left_cold.join(right_cold, on=on, how=how)
+
+    lh = left_hot.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(num_salts)))
+    rh = right_hot.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.lit(num_salts - 1).cast("bigint"))),
+    )
+    hot = lh.join(rh, on=[*on, "_salt"], how=how).drop("_salt")
+
+    return cold.unionByName(hot)

@@ -24,10 +24,10 @@ from pyspark.sql import functions as F
 
 from graphiti_spark.functions.udfs import (
     embed_udf,
-    extract_mentions_df,
-    extract_triples_df,
+    extract_all_df,
     html_to_text_udf,
     normalize_exact_col,
+    split_extraction,
 )
 from graphiti_spark.lineage import StageRunner
 from graphiti_spark.operators.edge_ops import (
@@ -101,6 +101,7 @@ def run_pipeline(
     now: datetime | None = None,
     checkpoint_dir: str | None = None,
     with_embeddings: bool = True,
+    existing_nodes: DataFrame | None = None,
 ) -> dict:
     """Full batch ingest. Returns dict with episodes/nodes/edges/mentions
     DataFrames plus per-stage metrics."""
@@ -114,13 +115,19 @@ def run_pipeline(
         in_files = "inline"
     in_fp = f"{in_files}"
 
-    episodes = runner.run("episodes", in_fp, lambda: pages_to_episodes(pages, group_col, lang))
+    # episodes stay lazy: the fused extraction scans them exactly once, so
+    # there is nothing to share; callers materialize on demand
+    episodes = pages_to_episodes(pages, group_col, lang)
 
-    raw_mentions = runner.run("raw_mentions", in_fp, lambda: extract_mentions_df(episodes))
-    raw_triples = runner.run("raw_triples", in_fp, lambda: extract_triples_df(episodes))
+    # one pass over the corpus produces mentions AND triples (kind-tagged),
+    # halving the Python/Arrow transfer of page content
+    raw_all = runner.run("extraction", in_fp, lambda: extract_all_df(episodes))
+    raw_mentions, raw_triples = split_extraction(raw_all)
 
     # D1-D14 global canonicalization
-    name_resolution = runner.run("name_resolution", in_fp, lambda: resolve_names(raw_mentions))
+    name_resolution = runner.run(
+        "name_resolution", in_fp, lambda: resolve_names(raw_mentions, existing_nodes)
+    )
     nodes = runner.run(
         "nodes_canonical", in_fp, lambda: build_canonical_nodes(name_resolution, raw_mentions)
     )
@@ -139,7 +146,19 @@ def run_pipeline(
         nodes = nodes.withColumn("name_embedding", embed_udf(F.col("name")))
         edges = edges.withColumn("fact_embedding", embed_udf(F.col("fact")))
 
+    # episode.entity_edges: uuids of edges whose provenance includes the
+    # episode (ref graphiti.py:544-546) — lazy; computed if consumed
+    ep_edges = (
+        edges.select(F.col("uuid").alias("edge_uuid"), F.explode("episodes").alias("episode_uuid"))
+        .groupBy("episode_uuid")
+        .agg(F.sort_array(F.collect_list("edge_uuid")).alias("entity_edges"))
+    )
+    episodes_out = episodes.join(ep_edges, on="episode_uuid", how="left").withColumn(
+        "entity_edges", F.coalesce(F.col("entity_edges"), F.array().cast("array<string>"))
+    )
+
     return {
+        "episodes_with_edges": episodes_out,
         "episodes": episodes,
         "raw_mentions": raw_mentions,
         "raw_triples": raw_triples,

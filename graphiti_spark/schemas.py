@@ -125,6 +125,26 @@ RAW_TRIPLES = StructType(
     ]
 )
 
+# intermediate: fused single-pass extraction (kind = 'm' mention | 't' triple)
+RAW_EXTRACTION = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("episode_uuid", StringType(), False),
+        StructField("group_id", StringType(), False),
+        StructField("ep_valid_at", TimestampType(), False),
+        StructField("name", StringType(), True),
+        StructField("entity_type", StringType(), True),
+        StructField("mention_idx", LongType(), True),
+        StructField("subject", StringType(), True),
+        StructField("predicate", StringType(), True),
+        StructField("object", StringType(), True),
+        StructField("fact", StringType(), True),
+        StructField("valid_at", TimestampType(), True),
+        StructField("invalid_at", TimestampType(), True),
+        StructField("triple_idx", LongType(), True),
+    ]
+)
+
 # intermediate: per distinct (group_id, name) dedup features
 NAME_FEATURES = StructType(
     [

@@ -73,9 +73,12 @@ def run_level(cpus: int, pages: int, runs: int, pages_dir: str) -> dict:
             "SPARK_GRAFT_SHUFFLE": str(max(cpus * 2, 16)),
         }
     )
-    proc = subprocess.run(
-        [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=3000
-    )
+    # pin the worker to exactly `cpus` physical cores: an unpinned local[8]
+    # JVM still runs GC / shuffle-compression / Python-worker threads on the
+    # other 24 idle cores, which a real 8-executor cluster would not have —
+    # taskset makes the N-vs-4N comparison an honest cluster-size proxy
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", WORKER]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3000)
     for line in proc.stdout.splitlines():
         if line.startswith("WORKER_RESULT "):
             return json.loads(line[len("WORKER_RESULT "):])

@@ -131,3 +131,18 @@ def test_decode_media_is_stubbed(spark):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_lsh_bucketed_ann(spark):
+    rng = np.random.RandomState(9)
+    base = rng.randn(20, 16).astype(np.float32)
+    # make vec 1 a near-copy of vec 0 so they share hyperplane buckets
+    base[1] = base[0] + rng.randn(16).astype(np.float32) * 0.01
+    df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(20)], schema="vec_id long, embedding array<float>"
+    )
+    queries = df.filter(F.col("vec_id") == 0)
+    rows = D.lsh_bucketed_ann(df, queries, k=5).collect()
+    got = {r["c_id"]: r["rnk"] for r in rows}
+    # the near-duplicate must be found in the same bucket at rank 1
+    assert got.get("1") == 1

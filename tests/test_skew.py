@@ -1,0 +1,45 @@
+"""Salted join must be row-identical to the plain join (hub-key skew
+handling, north-rule requirement)."""
+
+import random
+
+from graphiti_spark.operators.skew import salted_join
+
+
+def _frames(spark):
+    rng = random.Random(5)
+    # one hot key ("hub") with 200 rows, many cold keys
+    left_rows = [("hub", f"u{i}", i) for i in range(200)]
+    left_rows += [(f"k{rng.randint(0, 30)}", f"v{i}", i) for i in range(100)]
+    right_rows = [("hub", "H1"), ("hub", "H2")]
+    right_rows += [(f"k{i}", f"R{i}") for i in range(31)]
+    right_rows += [("only_right", "X")]
+    left = spark.createDataFrame(left_rows, schema="k string, uuid string, n long")
+    right = spark.createDataFrame(right_rows, schema="k string, payload string")
+    return left, right
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_inner_matches_plain(spark):
+    left, right = _frames(spark)
+    plain = left.join(right, on=["k"], how="inner")
+    salted = salted_join(left, right, on=["k"], salt_col="uuid", hot_threshold=50, num_salts=4)
+    assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+def test_salted_left_matches_plain(spark):
+    left, right = _frames(spark)
+    plain = left.join(right, on=["k"], how="left")
+    salted = salted_join(left, right, on=["k"], how="left", salt_col="uuid",
+                         hot_threshold=50, num_salts=4)
+    assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+def test_no_hot_keys_passthrough(spark):
+    left, right = _frames(spark)
+    plain = left.join(right, on=["k"], how="inner")
+    salted = salted_join(left, right, on=["k"], salt_col="uuid", hot_threshold=10_000)
+    assert _rows(salted.select(*plain.columns)) == _rows(plain)
