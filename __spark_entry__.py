@@ -89,6 +89,19 @@ def _kg_pipeline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3/G4: label-propagation communities over the constructed graph."""
+    from graphiti_spark.operators.communities import build_community_tables
+    from graphiti_spark.pipeline import run_pipeline
+
+    result = run_pipeline(spark, _pages_df(spark, sf_dir), now=_FIXED_NOW, with_embeddings=False)
+    comms, members = build_community_tables(result["nodes"], result["edges"])
+    sizes = members.groupBy("source_node_uuid").agg(F.count("*").alias("n_members"))
+    return comms.join(
+        sizes, comms.uuid == sizes.source_node_uuid, "left"
+    ).select("uuid", "group_id", "name", F.coalesce("n_members", F.lit(0)).alias("n_members"))
+
+
 def _kg_top_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _kg_pipeline_edges(spark, sf_dir)
@@ -294,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pipeline_edges": _kg_pipeline_edges,
         "kg_top_predicates": _kg_top_predicates,
+        "kg_communities": _kg_communities,
         "prev_episodes_topk": _prev_episodes_topk,
         "edge_dedup_firstwins": _edge_dedup_firstwins,
         "temporal_invalidation": _temporal_invalidation,

@@ -44,6 +44,10 @@ pages = spark.read.parquet(pages_dir)
 
 results = []
 for i in range(runs + 1):  # first run = warm-up
+    # plan-identical runs would otherwise hit the previous run's persisted
+    # stage outputs (Spark's cache manager matches by logical plan) —
+    # every timed run must start cold w.r.t. caches
+    spark.catalog.clearCache()
     out_dir = tempfile.mkdtemp(prefix="graphiti_scale_")
     t0 = time.time()
     res = run_pipeline(spark, pages, now=_FIXED_NOW)

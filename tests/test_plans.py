@@ -1,0 +1,66 @@
+"""Physical-plan quality gates: predicate pushdown, column pruning and
+broadcast-join selection must survive refactors (the 100 TB posture)."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.datagen import generate_web_pages
+from graphiti_spark.pipeline import pages_to_episodes, run_pipeline
+from graphiti_spark.schemas import WEB_PAGES
+
+NOW = datetime(2026, 8, 16, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    rows = generate_web_pages(n_pages=60, seed=42)
+    spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=WEB_PAGES,
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lang_filter_pushed_to_scan(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    eps = pages_to_episodes(pages, lang="en")
+    plan = _plan(eps)
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200], (
+        "lang filter must reach the parquet scan"
+    )
+
+
+def test_column_pruning_drops_html_when_text_only(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    # a projection that only needs url/text must not read html bytes
+    df = pages.select("url", F.length("text").alias("n"))
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema, f"html must be pruned: {read_schema}"
+
+
+def test_pointer_rewrite_uses_broadcast(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    res = run_pipeline(spark, pages, now=NOW, with_embeddings=False)
+    # the canonical-map joins (D15) must broadcast the small map side
+    from graphiti_spark.operators.edge_ops import rewrite_pointers
+    from graphiti_spark.functions.udfs import split_extraction
+
+    rr = rewrite_pointers(res["raw_triples"], res["name_resolution"])
+    plan = _plan(rr)
+    assert "BroadcastHashJoin" in plan, "D15 map join must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_in_pipeline_outputs(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    res = run_pipeline(spark, pages, now=NOW, with_embeddings=False)
+    for name in ("nodes", "edges", "mentions"):
+        assert "CartesianProduct" not in _plan(res[name]), name
