@@ -34,6 +34,9 @@ BM25_QUERY_TERMS = ["spark", "join", "window", "hash"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # epoch-microsecond outputs (unix_micros) must agree with DuckDB's
+    # timezone-naive epoch_us regardless of the harness session TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -43,6 +46,7 @@ def _pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphiti_spark.datagen import generate_web_pages
     from graphiti_spark.schemas import WEB_PAGES
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.001
     n_pages = max(60, int(sf * 60000))  # sf0.001 -> 60, sf0.01 -> 600, sf0.1 -> 6000

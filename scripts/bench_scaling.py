@@ -26,7 +26,6 @@ from graphiti_spark.pipeline import run_pipeline
 
 cpus = int(os.environ["SCALE_CPUS"])
 n_pages = int(os.environ["SCALE_PAGES"])
-runs = int(os.environ["SCALE_RUNS"])
 
 spark = get_spark("scale", master=f"local[{cpus}]")
 spark.sparkContext.setLogLevel("ERROR")
@@ -42,26 +41,24 @@ if not os.path.exists(marker):
         .write.mode("overwrite").parquet(pages_dir)
 pages = spark.read.parquet(pages_dir)
 
-results = []
-for i in range(runs + 1):  # first run = warm-up
-    # plan-identical runs would otherwise hit the previous run's persisted
-    # stage outputs (Spark's cache manager matches by logical plan) —
-    # every timed run must start cold w.r.t. caches
-    spark.catalog.clearCache()
-    out_dir = tempfile.mkdtemp(prefix="graphiti_scale_")
-    t0 = time.time()
-    res = run_pipeline(spark, pages, now=_FIXED_NOW)
-    for name in ("nodes", "edges", "mentions"):
-        res[name].write.mode("overwrite").parquet(os.path.join(out_dir, name))
-    sec = time.time() - t0
-    n_triples = spark.read.parquet(os.path.join(out_dir, "edges")).count()
-    for df in res.values():
-        if hasattr(df, "unpersist"):
-            df.unpersist()
-    shutil.rmtree(out_dir, ignore_errors=True)
-    if i > 0:
-        results.append({"sec": sec, "triples": n_triples})
-print("WORKER_RESULT " + json.dumps({"cpus": cpus, "runs": results}))
+# ONE measured run per process: a fresh JVM per measurement removes
+# cross-run pollution (plan-equality cache hits, heap fragmentation,
+# accumulated GC state). JIT warm-up is covered by a short prefix run over
+# a slice of the input.
+spark.read.parquet(pages_dir).limit(20000).count()
+warm = run_pipeline(spark, pages.limit(20000), now=_FIXED_NOW)
+warm["edges"].count()
+spark.catalog.clearCache()
+
+out_dir = tempfile.mkdtemp(prefix="graphiti_scale_")
+t0 = time.time()
+res = run_pipeline(spark, pages, now=_FIXED_NOW)
+for name in ("nodes", "edges", "mentions"):
+    res[name].write.mode("overwrite").parquet(os.path.join(out_dir, name))
+sec = time.time() - t0
+n_triples = spark.read.parquet(os.path.join(out_dir, "edges")).count()
+shutil.rmtree(out_dir, ignore_errors=True)
+print("WORKER_RESULT " + json.dumps({"cpus": cpus, "runs": [{"sec": sec, "triples": n_triples}]}))
 spark.stop()
 """
 
@@ -82,11 +79,19 @@ def run_level(cpus: int, pages: int, runs: int, pages_dir: str) -> dict:
     # other 24 idle cores, which a real 8-executor cluster would not have —
     # taskset makes the N-vs-4N comparison an honest cluster-size proxy
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", WORKER]
-    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3000)
-    for line in proc.stdout.splitlines():
-        if line.startswith("WORKER_RESULT "):
-            return json.loads(line[len("WORKER_RESULT "):])
-    raise RuntimeError(f"worker local[{cpus}] failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+    out = {"cpus": cpus, "runs": []}
+    for _ in range(runs):  # one fresh JVM per measured run (no cross-run
+        # cache/heap pollution; JIT warm-up happens inside the worker)
+        proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3000)
+        for line in proc.stdout.splitlines():
+            if line.startswith("WORKER_RESULT "):
+                out["runs"].extend(json.loads(line[len("WORKER_RESULT "):])["runs"])
+                break
+        else:
+            raise RuntimeError(
+                f"worker local[{cpus}] failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+            )
+    return out
 
 
 def main() -> None:
