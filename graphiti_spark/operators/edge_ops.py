@@ -97,6 +97,62 @@ def dedup_edges(resolved_triples: DataFrame) -> DataFrame:
     )
 
 
+EDGE_COSINE_THRESHOLD = 0.6  # ref utils/bulk_utils.py:425
+
+
+def near_duplicate_edge_pairs(
+    edges: DataFrame,
+    cosine_threshold: float = EDGE_COSINE_THRESHOLD,
+) -> DataFrame:
+    """T4 candidate generation (ref utils/bulk_utils.py:416-510): pairs of
+    edges between the SAME endpoint pair (order-insensitive) whose facts
+    share a word (the reference's "approximate BM25", :445-457) OR whose
+    fact embeddings have cosine >= 0.6 (:460-465).
+
+    Output: a_uuid, b_uuid, same_tokens BOOLEAN, cos DOUBLE. The endpoint-
+    pair join key bounds the quadratic blowup exactly as the reference's
+    per-pair candidate loop does; hub endpoint pairs are capped by the same
+    salted-join-style AQE skew splitting (keys are already two-sided).
+    """
+    from graphiti_spark.search import _dot, quantize_col
+
+    base = edges.select(
+        "uuid",
+        "group_id",
+        F.least("source_node_uuid", "target_node_uuid").alias("p1"),
+        F.greatest("source_node_uuid", "target_node_uuid").alias("p2"),
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col("fact")), r"\s+"), lambda x: x != "")
+        ).alias("toks"),
+        (quantize_col(F.col("fact_embedding")) if "fact_embedding" in edges.columns
+         else F.lit(None).cast("array<bigint>")).alias("qv"),
+    )
+    a = base.select(
+        "group_id", "p1", "p2",
+        F.col("uuid").alias("a_uuid"), F.col("toks").alias("a_toks"), F.col("qv").alias("a_qv"),
+    )
+    b = base.select(
+        "group_id", "p1", "p2",
+        F.col("uuid").alias("b_uuid"), F.col("toks").alias("b_toks"), F.col("qv").alias("b_qv"),
+    )
+    pairs = a.join(b, on=["group_id", "p1", "p2"]).filter(F.col("a_uuid") < F.col("b_uuid"))
+    overlap = F.arrays_overlap("a_toks", "b_toks")
+    cos = F.when(
+        F.col("a_qv").isNotNull() & F.col("b_qv").isNotNull(),
+        _dot(F.col("a_qv"), F.col("b_qv")).cast("double")
+        / (
+            F.sqrt(_dot(F.col("a_qv"), F.col("a_qv")).cast("double"))
+            * F.sqrt(_dot(F.col("b_qv"), F.col("b_qv")).cast("double"))
+        ),
+    )
+    return (
+        pairs.withColumn("same_tokens", overlap)
+        .withColumn("cos", cos)
+        .filter(F.col("same_tokens") | (F.col("cos") >= cosine_threshold))
+        .select("a_uuid", "b_uuid", "same_tokens", "cos")
+    )
+
+
 def invalidate_contradictions(
     edges: DataFrame,
     now_ts,

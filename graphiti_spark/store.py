@@ -48,14 +48,42 @@ class ParquetStore:
             w = w.partitionBy(partition_by)
         w.parquet(self.path(table))
 
-    def merge_upsert(self, table: str, updates: DataFrame, key: str = "uuid") -> None:
+    def merge_upsert(
+        self,
+        table: str,
+        updates: DataFrame,
+        key: str = "uuid",
+        array_merge_cols: tuple[str, ...] = (),
+    ) -> None:
         """MERGE INTO semantics: rows in `updates` replace same-key rows in
         the target (whole-row SET, matching the reference's ``SET n = row``),
-        unmatched rows insert. Last-writer-wins inside `updates` too."""
+        unmatched rows insert. Last-writer-wins inside `updates` too.
+
+        `array_merge_cols` accumulate instead of replace (distinct union of
+        old + new) — used for node `aliases` and edge `episodes` provenance
+        so incremental batches never lose history.
+        """
         if not self.exists(table):
             self.overwrite(table, updates.dropDuplicates([key]))
             return
         target = self.read(table)
+        if array_merge_cols:
+            old = target.select(
+                key, *[F.col(c).alias(f"_old_{c}") for c in array_merge_cols]
+            )
+            updates = updates.join(old, on=key, how="left")
+            for c in array_merge_cols:
+                updates = updates.withColumn(
+                    c,
+                    F.array_sort(
+                        F.array_distinct(
+                            F.concat(
+                                F.coalesce(F.col(f"_old_{c}"), F.array().cast("array<string>")),
+                                F.coalesce(F.col(c), F.array().cast("array<string>")),
+                            )
+                        )
+                    ),
+                ).drop(f"_old_{c}")
         # precedence column: updates (1) beat target (0); within updates the
         # later row wins arbitrarily-but-deterministically via uuid ordering
         unioned = target.select(*target.columns).withColumn("_src", F.lit(0)).unionByName(

@@ -43,3 +43,24 @@ def test_no_hot_keys_passthrough(spark):
     plain = left.join(right, on=["k"], how="inner")
     salted = salted_join(left, right, on=["k"], salt_col="uuid", hot_threshold=10_000)
     assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+def test_near_duplicate_edge_pairs(spark):
+    from graphiti_spark.extraction import embed_text
+    from graphiti_spark.operators.edge_ops import near_duplicate_edge_pairs
+
+    rows = [
+        ("e1", "g", "n1", "n2", "alice works at acme corp", embed_text("alice works at acme corp")),
+        ("e2", "g", "n2", "n1", "alice is employed by acme corp", embed_text("alice is employed by acme corp")),
+        ("e3", "g", "n1", "n2", "completely unrelated zq xv yw", embed_text("qq zz vv ww")),
+        ("e4", "g", "n1", "n3", "alice works at acme corp", embed_text("alice works at acme corp")),
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        schema="uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string, fact string, fact_embedding array<float>",
+    )
+    got = {(r["a_uuid"], r["b_uuid"]) for r in near_duplicate_edge_pairs(edges).collect()}
+    assert ("e1", "e2") in got          # same endpoints (reversed), word overlap
+    assert ("e1", "e3") not in got      # same endpoints, no overlap, low cosine
+    assert not any("e4" in p for p in got)  # different endpoint pair
