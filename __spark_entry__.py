@@ -62,10 +62,22 @@ def _pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kg_pipeline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+_PIPELINE_MEMO: dict = {}
+
+
+def _pipeline_result(spark: SparkSession, sf_dir: str) -> dict:
+    """The kg_* queries share one pipeline run per (session, sf_dir) —
+    the stage outputs are persisted DataFrames tied to the session."""
     from graphiti_spark.pipeline import run_pipeline
 
-    result = run_pipeline(spark, _pages_df(spark, sf_dir), now=_FIXED_NOW)
+    key = (id(spark), sf_dir)
+    if key not in _PIPELINE_MEMO:
+        _PIPELINE_MEMO[key] = run_pipeline(spark, _pages_df(spark, sf_dir), now=_FIXED_NOW)
+    return _PIPELINE_MEMO[key]
+
+
+def _kg_pipeline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result = _pipeline_result(spark, sf_dir)
     nodes = result["nodes"].select("uuid", "norm_name")
     return (
         result["edges"]
@@ -96,9 +108,8 @@ def _kg_pipeline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3/G4: label-propagation communities over the constructed graph."""
     from graphiti_spark.operators.communities import build_community_tables
-    from graphiti_spark.pipeline import run_pipeline
 
-    result = run_pipeline(spark, _pages_df(spark, sf_dir), now=_FIXED_NOW, with_embeddings=False)
+    result = _pipeline_result(spark, sf_dir)
     comms, members = build_community_tables(result["nodes"], result["edges"])
     sizes = members.groupBy("source_node_uuid").agg(F.count("*").alias("n_members"))
     return comms.join(
