@@ -24,8 +24,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# runnable both via spark-submit --py-files (package on the PYTHONPATH) and
+# directly from a repo checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
