@@ -127,14 +127,34 @@ def _kg_top_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full KG construction over the synthetic web_pages slice +
-    the sf0.001 documents table ingested as extra text episodes; returns
-    predicate frequencies of the canonical edge table."""
+    """Flagship: full KG construction over the synthetic web_pages slice
+    PLUS 50 rows of the sf0.001 documents table mapped into the input_hint
+    page shape (url=doc://<id>, text as content) and unioned into the same
+    pipeline run — the ingest path genuinely accepts arbitrary document
+    corpora as text episodes. Returns predicate frequencies of the
+    resulting canonical edge table."""
+    from graphiti_spark.pipeline import run_pipeline
+
     sf_dir = "/root/testdata/sf0.001"
-    # prove the ingest path accepts arbitrary document corpora as episodes
-    docs = _t(spark, sf_dir, "documents").limit(50)
-    _ = docs.count()
-    return _kg_top_predicates(spark, sf_dir)
+    pages = _pages_df(spark, sf_dir)
+    doc_pages = (
+        _t(spark, sf_dir, "documents")
+        .limit(50)
+        .select(
+            F.concat(F.lit("https://docs.local/"), F.col("doc_id")).alias("url"),
+            F.lit(_FIXED_NOW).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.col("text"),
+            F.lit("en").alias("lang"),
+        )
+    )
+    result = run_pipeline(spark, pages.unionByName(doc_pages), now=_FIXED_NOW)
+    return (
+        result["edges"]
+        .groupBy(F.col("name").alias("predicate"))
+        .agg(F.count("*").alias("n_edges"))
+        .orderBy(F.desc("n_edges"), F.asc("predicate"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -143,13 +163,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _prev_episodes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the REAL store.previous_episodes_bulk (S5) on events mapped
+    into the episode schema; the exploded trailing window is what the
+    DuckDB self-join oracle recomputes."""
+    from graphiti_spark.store import previous_episodes_bulk
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
-        .select("user_id", "event_id", "rn")
+    eps = ev.select(
+        F.col("event_id").cast("string").alias("uuid"),
+        F.col("user_id").cast("string").alias("group_id"),
+        F.col("ts").cast("timestamp").alias("valid_at"),
     )
+    out = previous_episodes_bulk(eps, last_n=3)
+    return out.select(
+        "uuid", F.posexplode("prev_uuids").alias("pos", "prev_uuid")
+    ).select("uuid", "prev_uuid", (F.col("pos") + 1).cast("long").alias("rn"))
 
 
 # ---------------------------------------------------------------------------
@@ -158,11 +186,34 @@ def _prev_episodes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _edge_dedup_firstwins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the REAL edge_ops.dedup_edges (T1/T2) on events mapped into
+    the resolved-triple schema: first occurrence wins per exact fact key,
+    provenance merged chronologically."""
+    from graphiti_spark.operators.edge_ops import dedup_edges
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("user_id", "event_type").agg(
-        F.count("*").alias("n_events"),
-        F.unix_micros(F.min("ts").cast("timestamp")).alias("first_us"),
-        F.min("event_id").alias("min_event_id"),
+    triples = ev.select(
+        F.lit("events").alias("group_id"),
+        F.col("user_id").cast("string").alias("source_node_uuid"),
+        F.col("event_type").alias("target_node_uuid"),
+        F.lit("DID").alias("predicate"),
+        F.concat(
+            F.lit("user "), F.col("user_id").cast("string"),
+            F.lit(" did "), F.col("event_type"),
+        ).alias("fact"),
+        F.col("event_id").cast("string").alias("episode_uuid"),
+        F.col("ts").cast("timestamp").alias("ep_valid_at"),
+        F.lit(0).cast("long").alias("triple_idx"),
+        F.col("ts").cast("timestamp").alias("valid_at"),
+        F.lit(None).cast("timestamp").alias("invalid_at"),
+    )
+    out = dedup_edges(triples)
+    return out.select(
+        F.col("source_node_uuid").alias("subj"),
+        F.col("target_node_uuid").alias("obj"),
+        F.size("episodes").cast("long").alias("n_events"),
+        F.unix_micros("created_at").alias("first_us"),
+        F.element_at("episodes", 1).alias("first_episode"),
     )
 
 
@@ -348,15 +399,25 @@ _TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
 
 _ORACLES: dict[str, str] = {
     "prev_episodes_topk": """
-        SELECT user_id, event_id, rn FROM (
-            SELECT user_id, event_id,
-                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-            FROM events) WHERE rn <= 3
+        WITH e AS (SELECT CAST(event_id AS VARCHAR) AS uuid,
+                          CAST(user_id AS VARCHAR) AS gid, ts FROM events)
+        SELECT uuid, prev_uuid, rn FROM (
+            SELECT x.uuid, p.uuid AS prev_uuid,
+                   row_number() OVER (PARTITION BY x.uuid
+                                      ORDER BY p.ts DESC, p.uuid DESC) AS rn
+            FROM e x JOIN e p ON p.gid = x.gid
+                 AND (p.ts < x.ts OR (p.ts = x.ts AND p.uuid < x.uuid))
+        ) WHERE rn <= 3
     """,
     "edge_dedup_firstwins": """
-        SELECT user_id, event_type, count(*) AS n_events,
-               epoch_us(min(ts)) AS first_us, min(event_id) AS min_event_id
-        FROM events GROUP BY user_id, event_type
+        WITH e AS (SELECT CAST(user_id AS VARCHAR) AS subj, event_type AS obj,
+                          CAST(event_id AS VARCHAR) AS ep, ts,
+                          row_number() OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts, CAST(event_id AS VARCHAR)) AS rn
+                   FROM events)
+        SELECT subj, obj, count(*) AS n_events, epoch_us(min(ts)) AS first_us,
+               max(CASE WHEN rn = 1 THEN ep END) AS first_episode
+        FROM e GROUP BY subj, obj
     """,
     "temporal_invalidation": """
         SELECT CAST(e.o_orderkey AS VARCHAR) AS edge_uuid,

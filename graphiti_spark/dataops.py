@@ -264,8 +264,9 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
             continue
         hs = np.fromiter(
             (
-                memo.get(t)
-                or memo.setdefault(
+                memo[t]
+                if t in memo
+                else memo.setdefault(
                     t, int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big")
                 )
                 for t in toks
@@ -384,12 +385,16 @@ def ann_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Brute-force cosine top-k: first n_queries ids vs the rest.
-    Output: q_id, c_id, cos_x10000, rnk."""
+    Output: q_id, c_id, cos_x10000, rnk.
+
+    Ids stay numeric end-to-end: cosine_topk's tie-break (asc c_id) must
+    use the same ordering as the DuckDB oracle's numeric ORDER BY — a
+    string cast would rank '10' before '9' on cosine ties."""
     q = embs.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).cast("string").alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     c = embs.filter(F.col(id_col) >= n_queries).select(
-        F.col(id_col).cast("string").alias("c_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     )
     out = cosine_topk(q, c, k=k)
     return out.select(

@@ -56,7 +56,9 @@ def mentions_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["name"].append(m["name"])
                 out["entity_type"].append(m["entity_type"])
                 out["mention_idx"].append(idx)
-        yield pd.DataFrame(out)
+        pdf_out = pd.DataFrame(out)
+        pdf_out["ep_valid_at"] = pd.to_datetime(pdf_out["ep_valid_at"], utc=True)
+        yield pdf_out
 
 
 def triples_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -86,7 +88,7 @@ def triples_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["triple_idx"].append(t_idx)
         pdf_out = pd.DataFrame(out)
         # arrow needs consistent dtypes for all-None timestamp columns
-        for c in ("valid_at", "invalid_at"):
+        for c in ("valid_at", "invalid_at", "ep_valid_at"):
             pdf_out[c] = pd.to_datetime(pdf_out[c], utc=True)
         yield pdf_out
 
@@ -151,7 +153,9 @@ def extract_all_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 cols["invalid_at"].append(t["invalid_at"])
                 cols["triple_idx"].append(t_idx)
         out = pd.DataFrame(cols)
-        for c in ("valid_at", "invalid_at"):
+        # arrow needs consistent dtypes even for EMPTY frames (a batch with
+        # zero extractions materializes float64 columns otherwise)
+        for c in ("valid_at", "invalid_at", "ep_valid_at"):
             out[c] = pd.to_datetime(out[c], utc=True)
         for c in ("mention_idx", "triple_idx"):
             out[c] = out[c].astype("Int64")

@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 MAX_ROUNDS = 25
 
 
-DRIVER_CC_MAX_PAIRS = 1_000_000
+# Probe cost is bounded by this: the single limit(N+1).collect() pulls at
+# most N+1 rows even when the distributed path is taken, so keep it small
+# enough that a discarded probe is cheap (~16 MB of uuid pairs) while still
+# covering every realistic dedup-pair batch in one driver pass.
+DRIVER_CC_MAX_PAIRS = 200_000
 
 
 def connected_components(

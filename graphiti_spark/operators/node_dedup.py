@@ -145,12 +145,15 @@ def resolve_names(raw_mentions: DataFrame, existing_nodes: DataFrame | None = No
                 F.explode("aliases").alias("norm_exact"),
             )
         )
-        # exact alias hit: adopt the existing canonical uuid directly
-        keys = keys.join(
-            ex_keys.select("group_id", "norm_exact", "ex_uuid"),
-            on=["group_id", "norm_exact"],
-            how="left",
+        # exact alias hit: adopt the existing canonical uuid directly.
+        # One ex_uuid per key: if two existing nodes ever share an alias
+        # (possible after an existing-existing fuzzy merge upstream), the
+        # min uuid wins — without this the join fans out and duplicates
+        # every downstream mention of the shared alias.
+        ex_exact = ex_keys.groupBy("group_id", "norm_exact").agg(
+            F.min("ex_uuid").alias("ex_uuid")
         )
+        keys = keys.join(ex_exact, on=["group_id", "norm_exact"], how="left")
         # names not exactly known enter the fuzzy pool together with the
         # existing nodes' primary keys so LSH can link new->existing
         ex_pool = (

@@ -40,7 +40,15 @@ class ParquetStore:
         return os.path.isdir(self.path(table))
 
     def read(self, table: str) -> DataFrame:
+        self.recover(table)
         return self.spark.read.parquet(self.path(table))
+
+    def recover(self, table: str) -> None:
+        """If a crash during merge_upsert's commit left only the `__old`
+        backup (final dir missing), restore it."""
+        final, bak = self.path(table), self.path(table) + "__old"
+        if not os.path.isdir(final) and os.path.isdir(bak):
+            os.rename(bak, final)
 
     def overwrite(self, table: str, df: DataFrame, partition_by: str | None = "group_id"):
         w = df.write.mode("overwrite")
@@ -63,6 +71,7 @@ class ParquetStore:
         old + new) — used for node `aliases` and edge `episodes` provenance
         so incremental batches never lose history.
         """
+        self.recover(table)
         if not self.exists(table):
             self.overwrite(table, updates.dropDuplicates([key]))
             return
@@ -84,29 +93,49 @@ class ParquetStore:
                         )
                     ),
                 ).drop(f"_old_{c}")
-        # precedence column: updates (1) beat target (0); within updates the
-        # later row wins arbitrarily-but-deterministically via uuid ordering
+        # precedence column: updates (1) beat target (0); duplicate keys
+        # INSIDE one updates batch resolve deterministically via a stable
+        # payload hash (not partition order, which varies across runs)
         unioned = target.select(*target.columns).withColumn("_src", F.lit(0)).unionByName(
             updates.select(*target.columns).withColumn("_src", F.lit(1))
         )
-        w = Window.partitionBy(key).orderBy(F.desc("_src"))
+        payload = F.xxhash64(
+            F.concat_ws(
+                "\x1e",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in sorted(target.columns)
+                ],
+            )
+        )
+        w = Window.partitionBy(key).orderBy(F.desc("_src"), payload.asc())
         merged = (
             unioned.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_src", "_rn")
         )
+        # commit protocol (crash-tolerant without an atomic dir swap):
+        # 1. clear any stale staging from a previous failed run, write staging
+        # 2. rename final aside, rename staging in, drop the backup
+        # A crash between 2's renames leaves `__old` in place — recover()
+        # (called from read()) restores it, so the table never disappears.
+        import shutil
+
         tmp = self.path(table) + "__staging"
+        shutil.rmtree(tmp, ignore_errors=True)
         m = merged.write.mode("overwrite")
         if "group_id" in merged.columns:
             m = m.partitionBy("group_id")
         m.parquet(tmp)
         final = self.path(table)
         bak = final + "__old"
-        import shutil
-
         shutil.rmtree(bak, ignore_errors=True)
         os.rename(final, bak)
-        os.rename(tmp, final)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            os.rename(bak, final)  # roll back: staging rename failed
+            raise
         shutil.rmtree(bak, ignore_errors=True)
 
     # ------------------------------------------------------------------
