@@ -246,6 +246,49 @@ def _temporal_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T4/T5/T10 — near-duplicate edge merge (candidate pairs -> cosine>=0.6
+# judgment -> union-find -> min-uuid canonical with merged provenance).
+# Hand-made 3-d fact embeddings split each (customer, status) endpoint
+# block into two orthogonal families (orderkey parity): within-family
+# cosine >= 0.996, cross-family <= 0.0036, so the merge components are
+# exactly (subj, obj, parity) — a closed form DuckDB recomputes by GROUP BY.
+# ---------------------------------------------------------------------------
+
+
+def _edge_neardup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphiti_spark.operators.edge_ops import merge_near_duplicate_edges
+
+    o = _t(spark, sf_dir, "orders")
+    par = (F.col("o_orderkey") % 2).cast("double")
+    eps = (F.col("o_orderkey") % 7).cast("double") / 100.0
+    edges = o.select(
+        F.format_string("e%09d", F.col("o_orderkey")).alias("uuid"),
+        F.lit("orders").alias("group_id"),
+        F.col("o_custkey").cast("string").alias("source_node_uuid"),
+        F.concat(F.lit("status:"), F.col("o_orderstatus")).alias("target_node_uuid"),
+        F.lit("HAS_STATUS").alias("name"),
+        F.concat(F.lit("order with priority "), F.col("o_orderpriority")).alias("fact"),
+        F.lower(F.concat(F.lit("order with priority "), F.col("o_orderpriority"))).alias(
+            "norm_fact"
+        ),
+        F.array(F.format_string("ep%09d", F.col("o_orderkey"))).alias("episodes"),
+        F.col("o_orderdate").cast("timestamp").alias("created_at"),
+        F.col("o_orderdate").cast("timestamp").alias("valid_at"),
+        F.lit(None).cast("timestamp").alias("invalid_at"),
+        F.array(
+            (F.lit(1.0) - par).cast("float"), eps.cast("float"), par.cast("float")
+        ).alias("fact_embedding"),
+    )
+    out = merge_near_duplicate_edges(edges)
+    return out.select(
+        F.col("uuid").alias("canonical_uuid"),
+        F.col("source_node_uuid").alias("subj"),
+        F.col("target_node_uuid").alias("obj"),
+        F.size("episodes").cast("long").alias("n_merged"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # D13/D14 — connected components (customer-nation bipartite graph; the
 # closed-form star structure makes the canonical map SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -377,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prev_episodes_topk": _prev_episodes_topk,
         "edge_dedup_firstwins": _edge_dedup_firstwins,
         "temporal_invalidation": _temporal_invalidation,
+        "edge_neardup_merge": _edge_neardup_merge,
         "connected_components_graph": _connected_components_graph,
         "dedup_exact": _dedup_exact,
         "dedup_token_jaccard": _dedup_token_jaccard,
@@ -429,6 +473,15 @@ _ORACLES: dict[str, str] = {
                                  THEN c.o_orderdate END)) AS invalid_us
         FROM orders e LEFT JOIN orders c ON c.o_custkey = e.o_custkey
         GROUP BY 1, 2, 3, 4
+    """,
+    "edge_neardup_merge": """
+        WITH e AS (SELECT printf('e%09d', o_orderkey) AS uuid,
+                          CAST(o_custkey AS VARCHAR) AS subj,
+                          'status:' || o_orderstatus AS obj,
+                          o_orderkey % 2 AS fam
+                   FROM orders)
+        SELECT min(uuid) AS canonical_uuid, subj, obj, count(*) AS n_merged
+        FROM e GROUP BY subj, obj, fam
     """,
     "connected_components_graph": """
         WITH m AS (SELECT printf('c%07d', c_custkey) AS cid,

@@ -105,9 +105,10 @@ def near_duplicate_edge_pairs(
     cosine_threshold: float = EDGE_COSINE_THRESHOLD,
 ) -> DataFrame:
     """T4 candidate generation (ref utils/bulk_utils.py:416-510): pairs of
-    edges between the SAME endpoint pair (order-insensitive) whose facts
-    share a word (the reference's "approximate BM25", :445-457) OR whose
-    fact embeddings have cosine >= 0.6 (:460-465).
+    edges between the SAME directed endpoint pair (ref :446-450 skips any
+    candidate whose source or target differs) whose facts share a word (the
+    reference's "approximate BM25", :451-457) OR whose fact embeddings have
+    cosine >= 0.6 (:460-465).
 
     Output: a_uuid, b_uuid, same_tokens BOOLEAN, cos DOUBLE. The endpoint-
     pair join key bounds the quadratic blowup exactly as the reference's
@@ -119,8 +120,8 @@ def near_duplicate_edge_pairs(
     base = edges.select(
         "uuid",
         "group_id",
-        F.least("source_node_uuid", "target_node_uuid").alias("p1"),
-        F.greatest("source_node_uuid", "target_node_uuid").alias("p2"),
+        F.col("source_node_uuid").alias("p1"),
+        F.col("target_node_uuid").alias("p2"),
         F.array_distinct(
             F.filter(F.split(F.lower(F.col("fact")), r"\s+"), lambda x: x != "")
         ).alias("toks"),
@@ -150,6 +151,54 @@ def near_duplicate_edge_pairs(
         .withColumn("cos", cos)
         .filter(F.col("same_tokens") | (F.col("cos") >= cosine_threshold))
         .select("a_uuid", "b_uuid", "same_tokens", "cos")
+    )
+
+
+def merge_near_duplicate_edges(
+    edges: DataFrame,
+    cosine_threshold: float = EDGE_COSINE_THRESHOLD,
+) -> DataFrame:
+    """T5/T10: collapse near-duplicate edges (ref utils/bulk_utils.py:416-510
+    `dedupe_edges_bulk`): candidate pairs from `near_duplicate_edge_pairs`,
+    judged duplicates when fact-embedding cosine >= 0.6 (the deterministic
+    replacement of the reference's LLM `resolve_extracted_edge` judgment —
+    north_star is LLM-free), then union-find with the lexicographically
+    smallest uuid as canonical (ref `compress_uuid_map`, :513-550). The
+    canonical edge keeps its own scalar fields (fact, dates — as the
+    reference keeps the canonical EntityEdge object) and absorbs every
+    member's episode provenance, ordered by member (created_at, uuid).
+
+    Requires a `fact_embedding` column. Schema is preserved; merged-away
+    edges disappear.
+    """
+    from graphiti_spark.operators.connected_components import connected_components
+
+    pairs = (
+        near_duplicate_edge_pairs(edges, cosine_threshold)
+        .filter(F.col("cos") >= cosine_threshold)
+        .select(F.col("a_uuid").alias("a"), F.col("b_uuid").alias("b"))
+    )
+    canon = connected_components(pairs)
+    tagged = (
+        edges.join(canon, edges.uuid == canon.id, how="left")
+        .withColumn("comp", F.coalesce(F.col("canonical"), F.col("uuid")))
+        .drop("id", "canonical")
+    )
+    merged_eps = tagged.groupBy("comp").agg(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("created_at", "uuid", "episodes"))),
+                    lambda s: s.episodes,
+                )
+            )
+        ).alias("_merged_episodes")
+    )
+    out_cols = edges.columns
+    return (
+        edges.join(merged_eps, edges.uuid == merged_eps.comp)
+        .withColumn("episodes", F.col("_merged_episodes"))
+        .select(*out_cols)
     )
 
 

@@ -21,6 +21,7 @@ distributed structure, so it independently checks the global joins.
 
 from __future__ import annotations
 
+import math
 from collections import defaultdict
 from dataclasses import dataclass, field
 from datetime import datetime
@@ -165,6 +166,60 @@ def ingest_episodes(episodes: list[dict], now: datetime) -> OracleGraph:
                     c.expired_at = c.expired_at or now
 
             g.edges[key] = edge
+    merge_edge_near_duplicates(g)
+    return g
+
+
+EDGE_MERGE_COSINE = 0.6  # ref utils/bulk_utils.py:425
+
+
+def _quantized_cosine(a: list[float], b: list[float]) -> float:
+    """Twin of the Spark path's quantize_col + integer dot (search.py):
+    HALF_UP x1000 quantization, exact integer dot, IEEE sqrt/div."""
+    qa = [int((1 if x >= 0 else -1) * int(abs(x) * 1000 + 0.5)) for x in a]
+    qb = [int((1 if x >= 0 else -1) * int(abs(x) * 1000 + 0.5)) for x in b]
+    na = math.sqrt(float(sum(x * x for x in qa)))
+    nb = math.sqrt(float(sum(x * x for x in qb)))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return sum(x * y for x, y in zip(qa, qb)) / (na * nb)
+
+
+def merge_edge_near_duplicates(g: OracleGraph, threshold: float = EDGE_MERGE_COSINE) -> OracleGraph:
+    """T5/T10 twin of operators.edge_ops.merge_near_duplicate_edges (ref
+    utils/bulk_utils.py:416-510): within each directed (src, dst) endpoint
+    pair, edges whose fact-embedding cosine >= 0.6 are duplicates; the
+    min-uuid member of each union-find component survives (compress_uuid_map
+    ordering, :513-550) and absorbs the merged edges' episode provenance."""
+    from graphiti_spark.extraction import embed_text
+
+    groups: dict[tuple, list] = defaultdict(list)
+    for key, e in g.edges.items():
+        groups[(e.src, e.dst)].append(key)
+
+    pairs: list[tuple[str, str]] = []
+    for keys in groups.values():
+        if len(keys) < 2:
+            continue
+        embs = [embed_text(g.edges[k].fact) for k in keys]
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if _quantized_cosine(embs[i], embs[j]) >= threshold:
+                    pairs.append((g.edges[keys[i]].uuid, g.edges[keys[j]].uuid))
+    if not pairs:
+        return g
+
+    mapping = K.min_uuid_map(pairs)
+    by_uuid = {e.uuid: key for key, e in g.edges.items()}
+    for uuid, canonical in mapping.items():
+        if uuid == canonical or uuid not in by_uuid:
+            continue
+        loser = g.edges[by_uuid[uuid]]
+        winner = g.edges[by_uuid[canonical]]
+        for ep in loser.episodes:
+            if ep not in winner.episodes:
+                winner.episodes.append(ep)
+        del g.edges[by_uuid[uuid]]
     return g
 
 

@@ -33,6 +33,7 @@ from graphiti_spark.lineage import StageRunner
 from graphiti_spark.operators.edge_ops import (
     dedup_edges,
     invalidate_contradictions,
+    merge_near_duplicate_edges,
     rewrite_pointers,
 )
 from graphiti_spark.operators.node_dedup import (
@@ -133,18 +134,31 @@ def run_pipeline(
     )
 
     resolved_triples = rewrite_pointers(raw_triples, name_resolution)
-    # dedup and invalidation are separate stages: invalidation self-joins its
-    # input, so the deduped table must be materialized first or the whole
-    # upstream DAG runs twice
-    deduped = runner.run("edges_dedup", in_fp, lambda: dedup_edges(resolved_triples))
-    edges = runner.run("edges", in_fp, lambda: invalidate_contradictions(deduped, now))
+    # dedup / merge / invalidation are separate stages: merge and
+    # invalidation both self-join their input, so each table must be
+    # materialized first or the whole upstream DAG runs twice.
+    # Fact embeddings are computed WITH the exact dedup (ref
+    # dedupe_edges_bulk embeds before judging, bulk_utils.py:427-431) so the
+    # near-dup merge can apply the cosine>=0.6 duplicate rule.
+    deduped = runner.run(
+        "edges_dedup",
+        in_fp,
+        lambda: dedup_edges(resolved_triples).withColumn(
+            "fact_embedding", embed_udf(F.col("fact"))
+        ),
+    )
+    merged = runner.run(
+        "edges_merge", in_fp, lambda: merge_near_duplicate_edges(deduped)
+    )
+    edges = runner.run("edges", in_fp, lambda: invalidate_contradictions(merged, now))
     mentions = runner.run(
         "mentions", in_fp, lambda: build_mentions_table(raw_mentions, name_resolution)
     )
 
     if with_embeddings:
         nodes = nodes.withColumn("name_embedding", embed_udf(F.col("name")))
-        edges = edges.withColumn("fact_embedding", embed_udf(F.col("fact")))
+    else:
+        edges = edges.drop("fact_embedding")
 
     # episode.entity_edges: uuids of edges whose provenance includes the
     # episode (ref graphiti.py:544-546) — lazy; computed if consumed

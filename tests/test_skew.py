@@ -51,9 +51,10 @@ def test_near_duplicate_edge_pairs(spark):
 
     rows = [
         ("e1", "g", "n1", "n2", "alice works at acme corp", embed_text("alice works at acme corp")),
-        ("e2", "g", "n2", "n1", "alice is employed by acme corp", embed_text("alice is employed by acme corp")),
+        ("e2", "g", "n1", "n2", "alice is employed by acme corp", embed_text("alice is employed by acme corp")),
         ("e3", "g", "n1", "n2", "completely unrelated zq xv yw", embed_text("qq zz vv ww")),
         ("e4", "g", "n1", "n3", "alice works at acme corp", embed_text("alice works at acme corp")),
+        ("e5", "g", "n2", "n1", "alice works at acme corp", embed_text("alice works at acme corp")),
     ]
     edges = spark.createDataFrame(
         rows,
@@ -61,6 +62,46 @@ def test_near_duplicate_edge_pairs(spark):
         "target_node_uuid string, fact string, fact_embedding array<float>",
     )
     got = {(r["a_uuid"], r["b_uuid"]) for r in near_duplicate_edge_pairs(edges).collect()}
-    assert ("e1", "e2") in got          # same endpoints (reversed), word overlap
+    assert ("e1", "e2") in got          # same endpoints, word overlap
     assert ("e1", "e3") not in got      # same endpoints, no overlap, low cosine
     assert not any("e4" in p for p in got)  # different endpoint pair
+    # reference requires the SAME DIRECTED endpoints (bulk_utils.py:446-450)
+    assert not any("e5" in p for p in got)
+
+
+def test_merge_near_duplicate_edges(spark):
+    from datetime import datetime, timezone
+
+    from graphiti_spark.extraction import embed_text
+    from graphiti_spark.operators.edge_ops import merge_near_duplicate_edges
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def edge(uuid, src, dst, fact, eps):
+        return (uuid, "g", src, dst, "RELATES", fact, fact.lower(), eps, t0, t0, None,
+                embed_text(fact))
+
+    rows = [
+        # paraphrased facts between the same endpoints -> one canonical edge
+        edge("e2", "n1", "n2", "alice works at acme corp", ["ep1"]),
+        edge("e1", "n1", "n2", "alice is working at acme corp", ["ep2"]),
+        # unrelated fact, same endpoints -> survives
+        edge("e3", "n1", "n2", "zq xv yw unrelated entirely", ["ep3"]),
+        # same fact, different endpoints -> survives
+        edge("e4", "n1", "n3", "alice works at acme corp", ["ep4"]),
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        schema="uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string, name string, fact string, norm_fact string, "
+        "episodes array<string>, created_at timestamp, valid_at timestamp, "
+        "invalid_at timestamp, fact_embedding array<float>",
+    )
+    out = {r["uuid"]: r for r in merge_near_duplicate_edges(edges).collect()}
+    assert set(out) == {"e1", "e3", "e4"}          # min-uuid canonical survives
+    # provenance merged in member (created_at, uuid) order: e1's own episode
+    # first, then the absorbed e2's
+    assert out["e1"]["episodes"] == ["ep2", "ep1"]
+    assert out["e1"]["fact"] == "alice is working at acme corp"  # canonical keeps its fact
+    assert out["e3"]["episodes"] == ["ep3"]
+    assert out["e4"]["episodes"] == ["ep4"]
