@@ -17,8 +17,9 @@ Scale notes:
 - token-Jaccard: quadratic *within a language block* — correct at oracle
   scale; at 100 TB use minhash_neardup_pairs as the blocked scale path and
   keep this as the verifier on sampled buckets.
-- cosine near-dup / ANN: brute force broadcast for the oracle path;
-  lsh_bucketed_ann for the scale path (random-hyperplane signs as buckets).
+- cosine near-dup: distributed block-grid self-join (exact all-pairs, no
+  driver collect); lsh_bucketed_ann is the sub-quadratic approximate path
+  (random-hyperplane signs as buckets).
 """
 
 from __future__ import annotations
@@ -76,7 +77,20 @@ def token_jaccard_pairs(
     """Same-block pairs (a < b) with token-set Jaccard >= threshold.
 
     Output: a_id, b_id, jac_x10000 (bigint — integer-derived, engine-exact).
+
+    The self-join key is (block, length bucket), not just the block: J >= t
+    forces the token-set sizes within a factor 1/t, so qualifying pairs land
+    in nearby geometric size buckets — bucket = floor(S*log2(n)) with S
+    chosen so the in-ratio log-gap is < 1 bucket, and the smaller side
+    probes buckets bk-r..bk+r. This is LOSSLESS blocking (provably no
+    qualifying pair is dropped — the exact integer size-ratio filter below
+    is what defines "qualifying"), so the DuckDB oracle needs no mirror of
+    it; it turns the per-block near-cartesian join into ~#buckets
+    independent equi-join cells. Zero-token docs are dropped outright:
+    their Jaccard is NULL in both engines and never passes the filter.
     """
+    import math
+
     t = docs.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
@@ -91,23 +105,40 @@ def token_jaccard_pairs(
         "blk",
         F.transform("toks_s", lambda x: F.xxhash64(x)).alias("toks"),
         F.size("toks_s").cast("long").alias("n"),
+    ).filter(F.col("n") >= 1)
+    # bucket scale: S log2-units per bucket; in-ratio pairs differ by
+    # D = S*log2(1/t) bucket units, so probing +-r with r = floor(D)+1
+    # covers every floor-boundary case exactly
+    scale = 4.0
+    reach = int(math.floor(scale * math.log2(1.0 / threshold))) + 1
+    t = t.withColumn("bk", F.floor(F.lit(scale) * F.log2(F.col("n"))).cast("long"))
+    # candidate generation moves ONLY scalars (block, bucket, id, size) —
+    # the ~100x-wider token arrays are re-attached by id AFTER the ratio
+    # filter, so the candidate shuffle is bytes-per-row cheap
+    slim = t.select("blk", "bk", "id", "n")
+    a = slim.select(
+        "blk",
+        F.col("id").alias("a_id"),
+        F.col("n").alias("a_n"),
+        F.explode(F.sequence(F.col("bk") - reach, F.col("bk") + reach)).alias("bk"),
     )
-    a = t.select("blk", F.col("id").alias("a_id"), F.col("toks").alias("a_toks"),
-                 F.col("n").alias("a_n"))
-    b = t.select("blk", F.col("id").alias("b_id"), F.col("toks").alias("b_toks"),
-                 F.col("n").alias("b_n"))
+    b = slim.select("blk", "bk", F.col("id").alias("b_id"), F.col("n").alias("b_n"))
     # exact size-ratio prefilter: J(A,B) <= min/max sizes, so J >= t requires
     # |A|*10000 >= |B|*t*10000 both ways — integer arithmetic so the oracle
     # SQL applies the identical cut
     thr = int(round(threshold * 10000))
     pairs = (
-        a.join(b, on="blk")
+        a.join(b, on=["blk", "bk"])
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
             (F.col("a_n") * 10000 >= F.col("b_n") * thr)
             & (F.col("b_n") * 10000 >= F.col("a_n") * thr)
         )
     )
+    toks = t.select("id", "toks")
+    pairs = pairs.join(
+        toks.select(F.col("id").alias("a_id"), F.col("toks").alias("a_toks")), on="a_id"
+    ).join(toks.select(F.col("id").alias("b_id"), F.col("toks").alias("b_toks")), on="b_id")
     # |A ∪ B| = |A| + |B| - |A ∩ B| for distinct token sets: one hash-build
     # per pair instead of two
     inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("long")
@@ -327,54 +358,92 @@ def simhash_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def embedding_neardup_pairs(
-    embs: DataFrame, threshold: float = 0.45, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """All pairs (a < b) with quantized-cosine >= threshold. Brute force —
-    the oracle-checkable form; lsh_bucketed_ann is the blocked scale path.
-    Output: a_id, b_id, cos_x10000.
+EMB_GRID_BLOCKS = 8
 
-    Implementation: the (small) corpus matrix is broadcast; each partition
-    matmuls its row block against it with int64 numpy — exact integer dots
-    and IEEE sqrt/div, bit-identical to the SQL oracle's arithmetic, ~100x
-    the row-at-a-time zip_with expression. For corpora too big to broadcast,
-    block both sides (grid join on block ids) — same kernel."""
+
+def embedding_neardup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = EMB_GRID_BLOCKS,
+) -> DataFrame:
+    """All pairs (a < b) with quantized-cosine >= threshold — a fully
+    distributed block-grid self-join (no driver collect, no corpus
+    broadcast): rows hash into `n_blocks` blocks; each unordered block pair
+    (i <= j) is one grid cell; every row replicates to the n_blocks cells it
+    participates in, and each cell computes its pairs with one exact-int64
+    numpy matmul. Work is the all-pairs O(n^2/2) the semantics demand, but
+    spread over B(B+1)/2 independent tasks with O((n/B)*dim) memory each —
+    at 100 TB raise n_blocks so a block fits an executor; lsh_bucketed_ann
+    remains the sub-quadratic approximate path.
+
+    Output: a_id, b_id, cos_x10000 — quantization (HALF_UP x1000) happens
+    JVM-side via quantize_col; integer dots and IEEE sqrt/div in numpy are
+    bit-identical to the DuckDB oracle's arithmetic.
+    """
     import numpy as np
 
-    spark = embs.sparkSession
-    rows = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
-    # HALF_UP quantization (floor(x+0.5) on magnitudes) matching Spark/DuckDB
-    # round(): np.round would be half-even
-    q = (np.sign(mat) * np.floor(np.abs(mat) * 1000.0 + 0.5)).astype(np.int64)
-    norms = np.sqrt((q * q).sum(axis=1).astype(np.float64))
-    bq = spark.sparkContext.broadcast((ids, q, norms))
+    b = int(n_blocks)
     thr = float(threshold)
-
-    def _block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bids, bmat, bnorms = bq.value
-        for pdf in batches:
-            sel = np.isin(bids, pdf["id"].to_numpy())
-            a_idx = np.nonzero(sel)[0]
-            if len(a_idx) == 0:
-                continue
-            dots = bmat[a_idx] @ bmat.T  # int64 exact
-            cos = dots.astype(np.float64) / (bnorms[a_idx][:, None] * bnorms[None, :])
-            ai, bi = np.nonzero((cos >= thr) & (bids[a_idx][:, None] < bids[None, :]))
-            if len(ai) == 0:
-                continue
-            c = cos[ai, bi]
-            yield pd.DataFrame(
-                {
-                    "a_id": bids[a_idx][ai],
-                    "b_id": bids[bi],
-                    "cos_x10000": np.floor(c * 10000.0 + 0.5).astype(np.int64),
-                }
+    base = embs.select(
+        F.col(id_col).alias("id"),
+        quantize_col(F.col(vec_col)).alias("qv"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(b)).alias("blk"),
+    )
+    # row in block k participates in cells (i,k) for i<=k and (k,j) for j>k;
+    # cell id = i*b + j with i <= j, so each unordered block pair is one key
+    cells = base.withColumn(
+        "cell",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("blk")), lambda i: i * b + F.col("blk")
+                ),
+                F.when(
+                    F.col("blk") < b - 1,
+                    F.transform(
+                        F.sequence(F.col("blk") + 1, F.lit(b - 1)),
+                        lambda j: F.col("blk") * b + j,
+                    ),
+                ).otherwise(F.array().cast("array<bigint>")),
             )
+        ),
+    )
 
-    blocks = embs.select(F.col(id_col).alias("id")).repartition(32, "id")
-    return blocks.mapInPandas(_block, schema="a_id long, b_id long, cos_x10000 long")
+    def _cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ci, cj = divmod(int(key[0]), b)
+        a_side = pdf[pdf["blk"] == ci]
+        b_side = pdf[pdf["blk"] == cj] if ci != cj else a_side
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos_x10000": []})
+        if len(a_side) == 0 or len(b_side) == 0:
+            return empty
+        amat = np.array(a_side["qv"].tolist(), dtype=np.int64)
+        bmat = np.array(b_side["qv"].tolist(), dtype=np.int64)
+        aid = a_side["id"].to_numpy(dtype=np.int64)
+        bid = b_side["id"].to_numpy(dtype=np.int64)
+        anorm = np.sqrt((amat * amat).sum(axis=1).astype(np.float64))
+        bnorm = np.sqrt((bmat * bmat).sum(axis=1).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (amat @ bmat.T).astype(np.float64) / (anorm[:, None] * bnorm[None, :])
+            mask = cos >= thr
+        if ci == cj:
+            mask &= aid[:, None] < bid[None, :]
+        ai, bi = np.nonzero(mask)
+        if len(ai) == 0:
+            return empty
+        a_ids, b_ids = aid[ai], bid[bi]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(a_ids, b_ids),
+                "b_id": np.maximum(a_ids, b_ids),
+                "cos_x10000": np.floor(cos[ai, bi] * 10000.0 + 0.5).astype(np.int64),
+            }
+        )
+
+    return cells.groupBy("cell").applyInPandas(
+        _cell_pairs, schema="a_id long, b_id long, cos_x10000 long"
+    )
 
 
 def ann_topk(
