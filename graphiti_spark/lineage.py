@@ -46,6 +46,7 @@ class StageRunner:
         self.spark = spark
         self.dir = checkpoint_dir
         self.metrics: list[dict] = []
+        self.rows: dict[str, int] = {}  # stage -> materialized row count
 
     def run(self, stage: str, input_fingerprint: str, build) -> DataFrame:
         """build: () -> DataFrame. Returns the (possibly reloaded) output."""
@@ -58,6 +59,7 @@ class StageRunner:
             # block-lock contention that grows with core count.
             df = build().persist()
             n = df.count()
+            self.rows[stage] = n
             self.metrics.append(
                 {"stage": stage, "sec": round(time.time() - t0, 3), "rows": n}
             )
@@ -69,6 +71,7 @@ class StageRunner:
             with open(mpath) as f:
                 manifest = json.load(f)
             if manifest.get("input_fingerprint") == input_fingerprint:
+                self.rows[stage] = int(manifest.get("row_count", 0))
                 self.metrics.append({"stage": stage, "sec": 0.0, "resumed": True})
                 return self.spark.read.parquet(path)
 
@@ -86,6 +89,7 @@ class StageRunner:
         }
         with open(mpath, "w") as f:
             json.dump(manifest, f, indent=1)
+        self.rows[stage] = manifest["row_count"]
         self.metrics.append(
             {"stage": stage, "sec": round(time.time() - t0, 3), "rows": manifest["row_count"]}
         )

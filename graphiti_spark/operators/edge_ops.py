@@ -128,23 +128,25 @@ def near_duplicate_edge_pairs(
         (quantize_col(F.col("fact_embedding")) if "fact_embedding" in edges.columns
          else F.lit(None).cast("array<bigint>")).alias("qv"),
     )
+    # norms computed once per EDGE here, not once per PAIR below: the pair
+    # join then evaluates a single integer dot per candidate instead of 3
+    base = base.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")).cast("double")))
     a = base.select(
         "group_id", "p1", "p2",
-        F.col("uuid").alias("a_uuid"), F.col("toks").alias("a_toks"), F.col("qv").alias("a_qv"),
+        F.col("uuid").alias("a_uuid"), F.col("toks").alias("a_toks"),
+        F.col("qv").alias("a_qv"), F.col("qn").alias("a_qn"),
     )
     b = base.select(
         "group_id", "p1", "p2",
-        F.col("uuid").alias("b_uuid"), F.col("toks").alias("b_toks"), F.col("qv").alias("b_qv"),
+        F.col("uuid").alias("b_uuid"), F.col("toks").alias("b_toks"),
+        F.col("qv").alias("b_qv"), F.col("qn").alias("b_qn"),
     )
     pairs = a.join(b, on=["group_id", "p1", "p2"]).filter(F.col("a_uuid") < F.col("b_uuid"))
     overlap = F.arrays_overlap("a_toks", "b_toks")
     cos = F.when(
         F.col("a_qv").isNotNull() & F.col("b_qv").isNotNull(),
         _dot(F.col("a_qv"), F.col("b_qv")).cast("double")
-        / (
-            F.sqrt(_dot(F.col("a_qv"), F.col("a_qv")).cast("double"))
-            * F.sqrt(_dot(F.col("b_qv"), F.col("b_qv")).cast("double"))
-        ),
+        / (F.col("a_qn") * F.col("b_qn")),
     )
     return (
         pairs.withColumn("same_tokens", overlap)
@@ -207,6 +209,7 @@ def invalidate_contradictions(
     now_ts,
     num_salts: int = 8,
     hot_threshold: int = 10_000,
+    known_edge_count: int | None = None,
 ) -> DataFrame:
     """T6/T7 interval algebra over contradicting-edge pairs.
 
@@ -236,6 +239,7 @@ def invalidate_contradictions(
     joined = salted_join(
         left, e2, on=keys, salt_col="uuid",
         num_salts=num_salts, hot_threshold=hot_threshold,
+        known_left_count=known_edge_count,
     )
     contradicted = (
         joined.filter(

@@ -64,9 +64,65 @@ def name_keys(raw_mentions: DataFrame) -> DataFrame:
     )
 
 
-def fuzzy_duplicate_pairs(keys: DataFrame) -> DataFrame:
+# Above this many distinct name keys the LSH band join runs distributed;
+# below it the identical kernels run in-process on the driver (the probe
+# already holds the data). Mirrors connected_components' scale-adaptive
+# driver/distributed switch — |distinct names| is orders of magnitude below
+# |mentions|, so even billion-page groups rarely cross this.
+DRIVER_FUZZY_MAX_KEYS = 100_000
+
+
+def _driver_fuzzy_pairs(rows) -> list[tuple[str, str]]:
+    """In-process twin of the LSH band join below: same entropy gate,
+    shingles, band keys, bucket cap and Jaccard >= 0.9 (kernels shared with
+    the sequential oracle), so both paths emit identical pairs."""
+    from collections import defaultdict
+
+    from graphiti_spark import kernels as K
+
+    shingle_of: dict[str, frozenset] = {}
+    buckets: dict[tuple, list[str]] = defaultdict(list)
+    for r in rows:
+        nf = K.normalize_fuzzy(r["name"])
+        if not K.has_high_entropy(nf):
+            continue
+        shingle_of[r["pre_id"]] = K.cached_shingles(nf)
+        for pos, bk in enumerate(K.band_keys(nf)):
+            buckets[(r["group_id"], pos, bk)].append(r["pre_id"])
+
+    seen: set[tuple[str, str]] = set()
+    out: list[tuple[str, str]] = []
+    for ids in buckets.values():
+        if len(ids) > LSH_BUCKET_CAP:
+            continue  # hub-name skew guard, same cap as the band join
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                if a == b or (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                if K.jaccard(shingle_of[a], shingle_of[b]) >= K.JACCARD_THRESHOLD:
+                    out.append((a, b))
+    return sorted(out)
+
+
+def fuzzy_duplicate_pairs(
+    keys: DataFrame, driver_threshold: int = DRIVER_FUZZY_MAX_KEYS
+) -> DataFrame:
     """LSH band join + Jaccard >= 0.9 over high-entropy distinct names.
-    Returns pairs(a, b) of pre_ids (a < b), within the same group only."""
+    Returns pairs(a, b) of pre_ids (a < b), within the same group only.
+
+    Scale-adaptive: one probe job fetches at most threshold+1 keys; if they
+    all fit, the pairs come from the in-process kernel twin (zero further
+    jobs); otherwise the distributed LSH band join below runs."""
+    if driver_threshold > 0:
+        sample = keys.select("group_id", "pre_id", "name").limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            spark = keys.sparkSession
+            return spark.createDataFrame(
+                _driver_fuzzy_pairs(sample), schema="a string, b string"
+            )
+
     feat = (
         keys.withColumn("norm_fuzzy", normalize_fuzzy_col(F.col("name")))
         .withColumn("f", name_features_udf(F.col("norm_fuzzy")))
@@ -83,15 +139,17 @@ def fuzzy_duplicate_pairs(keys: DataFrame) -> DataFrame:
         "pre_id",
         "shingles",
         F.posexplode("band_keys").alias("band_pos", "band_key"),
-    ).persist()  # consumed by the size aggregation AND the pair join
-    banded.count()  # eager: both consumers appear in one downstream action
-    # cap pathological buckets (hub-name skew guard)
+    ).persist()  # consumed by the size aggregation AND both pair-join sides
+    banded.count()  # eager: all three consumers appear in downstream actions
+    # cap pathological buckets (hub-name skew guard); the capped frame is
+    # NOT re-persisted — both self-join sides re-derive it from the cached
+    # `banded` with one cheap broadcast-size join each, which costs less
+    # than a second eager persist+count barrier
     bucket_sizes = banded.groupBy("group_id", "band_pos", "band_key").count()
     banded = banded.join(
         bucket_sizes.filter(F.col("count") <= LSH_BUCKET_CAP).drop("count"),
         on=["group_id", "band_pos", "band_key"],
-    ).persist()  # both sides of the self-join below read this
-    banded.count()
+    )
     a = banded.select(
         "group_id",
         "band_pos",

@@ -34,13 +34,22 @@ def salted_join(
     how: str = "inner",
     num_salts: int = DEFAULT_SALT,
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    known_left_count: int | None = None,
 ) -> DataFrame:
     """Join `left` and `right` on `on`, salting keys that are hot on the
     left side. `salt_col` must be a left-side column whose hash spreads a
     hot key's rows (e.g. the row uuid). Only inner/left joins supported.
+
+    `known_left_count`: callers that already materialized the left side
+    (e.g. a checkpointed pipeline stage) can pass its row count; when the
+    WHOLE left side is at or below `hot_threshold` no key can possibly be
+    hot, so the hot-key detection job is skipped outright.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+
+    if known_left_count is not None and known_left_count <= hot_threshold:
+        return left.join(right, on=on, how=how)
 
     counts = left.groupBy(*on).count()
     hot_keys = counts.filter(F.col("count") > hot_threshold).drop("count").persist()

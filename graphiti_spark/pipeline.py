@@ -129,9 +129,6 @@ def run_pipeline(
     name_resolution = runner.run(
         "name_resolution", in_fp, lambda: resolve_names(raw_mentions, existing_nodes)
     )
-    nodes = runner.run(
-        "nodes_canonical", in_fp, lambda: build_canonical_nodes(name_resolution, raw_mentions)
-    )
 
     resolved_triples = rewrite_pointers(raw_triples, name_resolution)
     # dedup / merge / invalidation are separate stages: merge and
@@ -139,20 +136,53 @@ def run_pipeline(
     # materialized first or the whole upstream DAG runs twice.
     # Fact embeddings are computed WITH the exact dedup (ref
     # dedupe_edges_bulk embeds before judging, bulk_utils.py:427-431) so the
-    # near-dup merge can apply the cosine>=0.6 duplicate rule.
-    deduped = runner.run(
-        "edges_dedup",
-        in_fp,
-        lambda: dedup_edges(resolved_triples).withColumn(
-            "fact_embedding", embed_udf(F.col("fact"))
-        ),
-    )
+    # near-dup merge can apply the cosine>=0.6 duplicate rule; the explicit
+    # repartition spreads the embed UDF over the full core count (AQE
+    # coalesces the post-aggregation exchange to a handful of partitions
+    # otherwise, serializing the Python stage).
+    n_embed_parts = spark.sparkContext.defaultParallelism * 2
+
+    def _build_deduped():
+        return (
+            dedup_edges(resolved_triples)
+            .repartition(n_embed_parts)
+            .withColumn("fact_embedding", embed_udf(F.col("fact")))
+        )
+
+    # wave: nodes / edge-dedup / mentions only consume already-materialized
+    # stages and are mutually independent — run their materializing actions
+    # concurrently so job-scheduling barriers overlap (Spark's scheduler
+    # handles concurrent actions from threads; at cluster scale these are
+    # separate jobs sharing executors)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_nodes = pool.submit(
+            runner.run,
+            "nodes_canonical",
+            in_fp,
+            lambda: build_canonical_nodes(name_resolution, raw_mentions),
+        )
+        f_deduped = pool.submit(runner.run, "edges_dedup", in_fp, _build_deduped)
+        f_mentions = pool.submit(
+            runner.run,
+            "mentions",
+            in_fp,
+            lambda: build_mentions_table(raw_mentions, name_resolution),
+        )
+        nodes = f_nodes.result()
+        deduped = f_deduped.result()
+        mentions = f_mentions.result()
+
     merged = runner.run(
         "edges_merge", in_fp, lambda: merge_near_duplicate_edges(deduped)
     )
-    edges = runner.run("edges", in_fp, lambda: invalidate_contradictions(merged, now))
-    mentions = runner.run(
-        "mentions", in_fp, lambda: build_mentions_table(raw_mentions, name_resolution)
+    edges = runner.run(
+        "edges",
+        in_fp,
+        lambda: invalidate_contradictions(
+            merged, now, known_edge_count=runner.rows.get("edges_merge")
+        ),
     )
 
     if with_embeddings:
