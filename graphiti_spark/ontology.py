@@ -40,6 +40,15 @@ class TypeRegistry:
         self.edge_types: dict[str, StructType] = {}
         # [(src_label, dst_label, predicate)] allow-list; empty = allow all
         self.edge_type_map: list[tuple[str, str, str]] = []
+        # E5 deterministic attribute rules: (entity_label, field) -> the
+        # predicate whose object fills the field (the LLM-free analog of the
+        # reference's per-type Pydantic attribute extraction,
+        # ref node_operations.py:402-506)
+        self.node_attribute_rules: dict[tuple[str, str], str] = {}
+        # E6: (edge_type, field) -> regex with ONE capture group applied to
+        # the fact text (ref edge_operations.py:547-562 extracts the custom
+        # type's fields from the fact/episode with a small-model call)
+        self.edge_attribute_rules: dict[tuple[str, str], str] = {}
 
     def register_entity_type(self, name: str, schema: StructType) -> None:
         if name in ("Entity",):
@@ -51,6 +60,24 @@ class TypeRegistry:
 
     def allow(self, src_label: str, dst_label: str, predicate: str) -> None:
         self.edge_type_map.append((src_label, dst_label, predicate))
+
+    def node_attribute_from_predicate(self, label: str, field: str, predicate: str) -> None:
+        """Fill `field` of entities labeled `label` with the canonical name
+        of the object of their earliest `predicate` edge."""
+        if label not in self.entity_types:
+            raise ValueError(f"unregistered entity type: {label!r}")
+        if field not in {f.name for f in self.entity_types[label].fields}:
+            raise ValueError(f"{field!r} is not a field of entity type {label!r}")
+        self.node_attribute_rules[(label, field)] = predicate
+
+    def edge_attribute_from_fact(self, edge_type: str, field: str, pattern: str) -> None:
+        """Fill `field` of edges named `edge_type` with the first capture
+        group of `pattern` matched against the fact text."""
+        if edge_type not in self.edge_types:
+            raise ValueError(f"unregistered edge type: {edge_type!r}")
+        if field not in {f.name for f in self.edge_types[edge_type].fields}:
+            raise ValueError(f"{field!r} is not a field of edge type {edge_type!r}")
+        self.edge_attribute_rules[(edge_type, field)] = pattern
 
 
 def enforce_edge_type_map(

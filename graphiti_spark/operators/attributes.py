@@ -62,3 +62,95 @@ def node_summaries(
         .withColumn("summary", F.when(F.col("_summary").isNotNull(), truncated))
         .drop("_summary")
     )
+
+
+def fill_node_attributes(nodes: DataFrame, edges: DataFrame, registry) -> DataFrame:
+    """E5 attribute fill (deterministic twin of ref node_operations.py:402-506):
+    for every (entity_label, field) -> predicate rule in the registry, a node
+    carrying that label gets `attributes[field]` = the display name of the
+    object of its earliest matching edge (ordered by valid_at, then edge
+    uuid). One broadcast join against the tiny rule table; plurality of the
+    work is a single window over the node's outgoing edges.
+    """
+    if not registry.node_attribute_rules:
+        return nodes
+    spark = nodes.sparkSession
+    rules = F.broadcast(
+        spark.createDataFrame(
+            [(lbl, fld, pred) for (lbl, fld), pred in registry.node_attribute_rules.items()],
+            schema="label string, field string, predicate string",
+        )
+    )
+    labeled = nodes.select("uuid", F.explode("labels").alias("label")).join(
+        rules, on="label"
+    )
+    target_names = nodes.select(
+        F.col("uuid").alias("target_node_uuid"), F.col("name").alias("_value")
+    )
+    cand = (
+        labeled.join(
+            edges.select(
+                F.col("source_node_uuid").alias("uuid"),
+                F.col("name").alias("predicate"),
+                "target_node_uuid",
+                "valid_at",
+                F.col("uuid").alias("_eid"),
+            ),
+            on=["uuid", "predicate"],
+        )
+        .join(target_names, on="target_node_uuid")
+    )
+    w = Window.partitionBy("uuid", "field").orderBy(
+        F.asc_nulls_last("valid_at"), F.asc("_eid")
+    )
+    filled = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("uuid")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("field", "_value")))
+            ).alias("_attrs")
+        )
+    )
+    return (
+        nodes.join(filled, on="uuid", how="left")
+        .withColumn(
+            "attributes",
+            F.coalesce(F.col("_attrs"), F.col("attributes")),
+        )
+        .drop("_attrs")
+    )
+
+
+def fill_edge_attributes(edges: DataFrame, registry) -> DataFrame:
+    """E6 attribute fill (deterministic twin of ref edge_operations.py:547-562):
+    for every (edge_type, field) -> regex rule, edges named `edge_type` get
+    `attributes[field]` = the first capture group matched against the fact.
+    Pure whole-stage-codegen expressions — no joins, no Python."""
+    if not registry.edge_attribute_rules:
+        return edges
+    by_type: dict[str, list[tuple[str, str]]] = {}
+    for (etype, field), pattern in registry.edge_attribute_rules.items():
+        by_type.setdefault(etype, []).append((field, pattern))
+
+    expr = F.create_map().cast("map<string,string>")
+    for etype, rules in sorted(by_type.items()):
+        entries = F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(field).alias("key"),
+                        F.regexp_extract(F.col("fact"), pattern, 1).alias("value"),
+                    )
+                    for field, pattern in sorted(rules)
+                ]
+            ),
+            lambda s: s.value != "",
+        )
+        expr = F.when(F.col("name") == etype, F.map_from_entries(entries)).otherwise(expr)
+    has_attrs = "attributes" in edges.columns
+    out = edges.withColumn("attributes", expr) if not has_attrs else edges.withColumn(
+        "attributes", F.when(F.size(F.map_keys(expr)) > 0, expr).otherwise(F.col("attributes"))
+    )
+    return out

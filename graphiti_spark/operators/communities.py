@@ -160,3 +160,56 @@ def build_community_tables(
         )
     )
     return communities.drop("community", "n_members"), community_members
+
+
+def attach_new_members(
+    community_members: DataFrame,
+    edges: DataFrame,
+    new_nodes: DataFrame,
+) -> DataFrame:
+    """G6 incremental update (ref community_operations.py:252-340
+    `determine_entity_community` + `update_community`), set-oriented: every
+    node in `new_nodes` that is NOT yet a community member joins the
+    plurality community among its graph neighbors' communities (ties break
+    to the smaller community uuid — a deterministic stand-in for the
+    reference's dict-iteration tie). Nodes with no communal neighbor stay
+    unassigned, as the reference returns None.
+
+    Returns NEW HAS_MEMBER rows (same schema as community_members) —
+    existing assignments are never recomputed, which is the point: the
+    streaming path appends these instead of re-running LPA per micro-batch.
+    """
+    bi = edges.select(
+        F.col("source_node_uuid").alias("u"), F.col("target_node_uuid").alias("v")
+    ).union(
+        edges.select(
+            F.col("target_node_uuid").alias("u"), F.col("source_node_uuid").alias("v")
+        )
+    )
+    fresh = new_nodes.select("uuid", "group_id").join(
+        community_members.select(F.col("target_node_uuid").alias("uuid")),
+        on="uuid",
+        how="left_anti",
+    )
+    nbr_comms = (
+        fresh.join(bi, fresh.uuid == bi.u)
+        .join(
+            community_members.select(
+                F.col("target_node_uuid").alias("v"),
+                F.col("source_node_uuid").alias("community_uuid"),
+            ),
+            on="v",
+        )
+        .groupBy("uuid", "group_id", "community_uuid")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("uuid").orderBy(F.desc("cnt"), F.asc("community_uuid"))
+    best = nbr_comms.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return best.select(
+        F.sha1(
+            F.concat_ws("\x1f", F.lit("has_member"), F.col("community_uuid"), F.col("uuid"))
+        ).alias("edge_uuid"),
+        "group_id",
+        F.col("community_uuid").alias("source_node_uuid"),
+        F.col("uuid").alias("target_node_uuid"),
+    )

@@ -103,9 +103,15 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     with_embeddings: bool = True,
     existing_nodes: DataFrame | None = None,
+    registry=None,
 ) -> dict:
     """Full batch ingest. Returns dict with episodes/nodes/edges/mentions
-    DataFrames plus per-stage metrics."""
+    DataFrames plus per-stage metrics.
+
+    With a `registry` (ontology.TypeRegistry) the edge_type_map is enforced
+    on the canonical edges and E5/E6 attribute rules fill the node/edge
+    `attributes` maps (ref graphiti.py:393-397 + the per-type attribute
+    extraction the SURVEY traces as E5/E6)."""
     now = now or datetime.now(timezone.utc)
     runner = StageRunner(spark, checkpoint_dir)
 
@@ -190,6 +196,18 @@ def run_pipeline(
     else:
         edges = edges.drop("fact_embedding")
 
+    if registry is not None:
+        from graphiti_spark.ontology import enforce_edge_type_map
+        from graphiti_spark.operators.attributes import (
+            fill_edge_attributes,
+            fill_node_attributes,
+        )
+
+        edges = fill_edge_attributes(
+            enforce_edge_type_map(edges, nodes, registry), registry
+        )
+        nodes = fill_node_attributes(nodes, edges, registry)
+
     # episode.entity_edges: uuids of edges whose provenance includes the
     # episode (ref graphiti.py:544-546) — lazy; computed if consumed
     ep_edges = (
@@ -213,6 +231,69 @@ def run_pipeline(
         "metrics": runner.metrics,
         "now": now,
     }
+
+
+def add_triplets(
+    spark: SparkSession,
+    triplets: DataFrame,
+    now: datetime | None = None,
+    existing_nodes: DataFrame | None = None,
+) -> dict:
+    """Manual triple ingestion (ref graphiti.py:1018-1083 `add_triplet`),
+    generalized to a batch: triplets(group_id, subject, predicate, object
+    [, fact, valid_at]) run the same resolve -> canonicalize -> dedup ->
+    merge -> invalidate chain as extracted triples, so a hand-asserted fact
+    is indistinguishable from an extracted one. With `existing_nodes` the
+    names resolve against the current graph (D11) exactly like a streaming
+    micro-batch. Returns {nodes, edges, mentions} frames for merge_upsert.
+    """
+    now = now or datetime.now(timezone.utc)
+    t = triplets
+    if "fact" not in t.columns:
+        t = t.withColumn("fact", F.concat_ws(" ", "subject", "predicate", "object"))
+    if "valid_at" not in t.columns:
+        t = t.withColumn("valid_at", F.lit(now).cast("timestamp"))
+    if "invalid_at" not in t.columns:
+        t = t.withColumn("invalid_at", F.lit(None).cast("timestamp"))
+    t = (
+        t.withColumn("ep_valid_at", F.coalesce(F.col("valid_at"), F.lit(now).cast("timestamp")))
+        .withColumn(
+            "episode_uuid",
+            det_id_col(
+                F.lit("manual"), F.col("group_id"), F.col("subject"),
+                F.col("predicate"), F.col("object"),
+            ),
+        )
+        .withColumn("triple_idx", F.lit(0).cast("long"))
+    )
+    m = (
+        t.select(
+            "episode_uuid", "group_id", "ep_valid_at",
+            F.col("subject").alias("name"),
+            F.lit("Entity").alias("entity_type"),
+            F.lit(0).cast("long").alias("mention_idx"),
+        )
+        .unionByName(
+            t.select(
+                "episode_uuid", "group_id", "ep_valid_at",
+                F.col("object").alias("name"),
+                F.lit("Entity").alias("entity_type"),
+                F.lit(1).cast("long").alias("mention_idx"),
+            )
+        )
+        .persist()
+    )
+    name_resolution = resolve_names(m, existing_nodes).persist()
+    nodes = build_canonical_nodes(name_resolution, m)
+    deduped = (
+        dedup_edges(rewrite_pointers(t, name_resolution))
+        .withColumn("fact_embedding", embed_udf(F.col("fact")))
+        .persist()
+    )
+    merged = merge_near_duplicate_edges(deduped)
+    edges = invalidate_contradictions(merged, now)
+    mentions = build_mentions_table(m, name_resolution)
+    return {"nodes": nodes, "edges": edges, "mentions": mentions, "now": now}
 
 
 def spark_triple_set(result: dict) -> set[tuple]:

@@ -283,6 +283,41 @@ def node_distance_rerank(candidates: DataFrame, edges: DataFrame, center_uuid: s
     )
 
 
+def token_overlap_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+) -> DataFrame:
+    """Deterministic stand-in for the reference's LLM cross-encoder reranker
+    (ref cross_encoder/client.py — scores passages against the query with a
+    model; north_star is LLM-free): score = token-set Jaccard between the
+    query and the candidate text, computed JVM-side. candidates(uuid) ->
+    (uuid, score) ordered desc."""
+    q_terms = sorted({t for t in query.lower().split() if t})
+    if not q_terms:
+        return candidates.select("uuid", F.lit(0.0).alias("score"))
+    q_arr = F.array(*[F.lit(t) for t in q_terms])
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    )
+    inter = F.size(F.array_intersect(toks, q_arr))
+    union = F.size(F.array_union(toks, q_arr))
+    scored = corpus.select(
+        F.col(id_col).alias("uuid"),
+        F.when(union > 0, inter.cast("double") / union.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    return (
+        candidates.select("uuid")
+        .join(scored, on="uuid", how="left")
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
+        .orderBy(F.desc("score"), F.asc("uuid"))
+    )
+
+
 def episode_mentions_rerank(candidates: DataFrame, mentions: DataFrame) -> DataFrame:
     """Rerank nodes by how many episodes mention them (ref :1941-1971)."""
     counts = mentions.groupBy(F.col("target_node_uuid").alias("uuid")).agg(
@@ -293,6 +328,56 @@ def episode_mentions_rerank(candidates: DataFrame, mentions: DataFrame) -> DataF
         .withColumn("score", F.coalesce(F.col("score"), F.lit(0)).cast("double"))
         .orderBy(F.desc("score"), F.asc("uuid"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — provenance traversals (ref search_utils.py:118-172): one-join
+# lookups over the materialized mentions / community-membership tables
+# ---------------------------------------------------------------------------
+
+RELEVANT_SCHEMA_LIMIT = 10  # ref search_utils.py:68
+
+
+def get_mentioned_nodes(episodes_sel: DataFrame, mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Entities mentioned by the given episodes (ref `get_mentioned_nodes`):
+    episodes_sel(uuid) -> distinct node rows."""
+    hits = (
+        episodes_sel.select(F.col("uuid").alias("source_node_uuid"))
+        .join(mentions, on="source_node_uuid")
+        .select(F.col("target_node_uuid").alias("uuid"))
+        .distinct()
+    )
+    return nodes.join(hits, on="uuid")
+
+
+def get_communities_by_nodes(
+    nodes_sel: DataFrame, community_members: DataFrame, communities: DataFrame
+) -> DataFrame:
+    """Communities any of the given entities belong to
+    (ref `get_communities_by_nodes`): nodes_sel(uuid) -> community rows."""
+    hits = (
+        nodes_sel.select(F.col("uuid").alias("target_node_uuid"))
+        .join(community_members, on="target_node_uuid")
+        .select(F.col("source_node_uuid").alias("uuid"))
+        .distinct()
+    )
+    return communities.join(hits, on="uuid")
+
+
+def get_episodes_by_mentions(
+    edges_sel: DataFrame, episodes: DataFrame, limit: int = RELEVANT_SCHEMA_LIMIT
+) -> DataFrame:
+    """Episodes that are provenance of the given edges
+    (ref `get_episodes_by_mentions`): explode the edges' episode arrays,
+    keep the first `limit` distinct uuids (ordered deterministically by
+    episode uuid — the reference's list order is edge-input order)."""
+    ep_ids = (
+        edges_sel.select(F.explode("episodes").alias("uuid"))
+        .distinct()
+        .orderBy("uuid")
+        .limit(limit)
+    )
+    return episodes.join(ep_ids, on="uuid")
 
 
 # ---------------------------------------------------------------------------

@@ -37,14 +37,44 @@ class SearchConfig:
     center_uuid: str | None = None
 
 
-# canned recipes mirroring search_config_recipes.py
+# The 15 canned recipes of search_config_recipes.py:34-223, one per
+# (scope, reranker) combination the reference ships. All run
+# [bm25, cosine_similarity] candidates; "cross_encoder" maps to the
+# deterministic token-overlap reranker (search.token_overlap_rerank — the
+# LLM-free stand-in for the reference's cross-encoder client). COMBINED_*
+# recipes are cross-scope: feed them to `search_all`.
 EDGE_HYBRID_SEARCH_RRF = SearchConfig(methods=["bm25", "cosine"], reranker="rrf")
-NODE_HYBRID_SEARCH_RRF = SearchConfig(methods=["bm25", "cosine"], reranker="rrf")
+EDGE_HYBRID_SEARCH_MMR = SearchConfig(methods=["bm25", "cosine"], reranker="mmr")
 EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(
     methods=["bm25", "cosine"], reranker="node_distance"
 )
+EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(
+    methods=["bm25", "cosine"], reranker="episode_mentions"
+)
+EDGE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    methods=["bm25", "cosine"], reranker="cross_encoder"
+)
+NODE_HYBRID_SEARCH_RRF = SearchConfig(methods=["bm25", "cosine"], reranker="rrf")
 NODE_HYBRID_SEARCH_MMR = SearchConfig(methods=["bm25", "cosine"], reranker="mmr")
-COMBINED_HYBRID_SEARCH_RRF = SearchConfig(methods=["bm25", "cosine", "bfs"], reranker="rrf")
+NODE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(
+    methods=["bm25", "cosine"], reranker="node_distance"
+)
+NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(
+    methods=["bm25", "cosine"], reranker="episode_mentions"
+)
+NODE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    methods=["bm25", "cosine"], reranker="cross_encoder"
+)
+COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig(methods=["bm25", "cosine"], reranker="rrf")
+COMMUNITY_HYBRID_SEARCH_MMR = SearchConfig(methods=["bm25", "cosine"], reranker="mmr")
+COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    methods=["bm25", "cosine"], reranker="cross_encoder"
+)
+COMBINED_HYBRID_SEARCH_RRF = SearchConfig(methods=["bm25", "cosine"], reranker="rrf")
+COMBINED_HYBRID_SEARCH_MMR = SearchConfig(methods=["bm25", "cosine"], reranker="mmr")
+COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    methods=["bm25", "cosine"], reranker="cross_encoder"
+)
 
 
 def _ranked(df: DataFrame, score_col: str) -> DataFrame:
@@ -111,7 +141,11 @@ def search(
 
     fused = S.rrf(result_lists, min_score=config.min_score)
 
-    if config.reranker == "node_distance" and config.center_uuid and edges is not None:
+    if config.reranker == "cross_encoder" and query.strip():
+        fused = S.token_overlap_rerank(
+            fused.select("uuid"), corpus, id_col, text_col, query
+        )
+    elif config.reranker == "node_distance" and config.center_uuid and edges is not None:
         bi = edges.select(
             F.col("source_node_uuid").alias("src"), F.col("target_node_uuid").alias("dst")
         )
@@ -129,4 +163,39 @@ def search(
 
     out = fused.orderBy(F.desc("score"), F.asc("uuid")).limit(config.limit)
     corpus.unpersist()
+    return out
+
+
+def search_all(
+    scopes: dict[str, dict],
+    query: str,
+    query_vec: list[float] | None = None,
+    config: SearchConfig | None = None,
+    edges: DataFrame | None = None,
+    mentions: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-scope combined search (ref search/search.py:112-165 fans out
+    edge / node / episode / community searches concurrently and returns one
+    SearchResults). `scopes` maps a scope name to its table spec:
+    {"corpus": DataFrame, "text_col": str, "vec_col": str, "id_col": str}.
+
+    Returns (scope, uuid, score) — each scope ranked by the shared config
+    (use the COMBINED_* recipes); Spark runs the per-scope plans as
+    independent jobs exactly as the reference gathers its four coroutines.
+    """
+    out: DataFrame | None = None
+    for name, spec in scopes.items():
+        r = search(
+            spec["corpus"],
+            query,
+            query_vec,
+            config,
+            edges=edges,
+            mentions=mentions,
+            id_col=spec.get("id_col", "uuid"),
+            text_col=spec.get("text_col", "fact"),
+            vec_col=spec.get("vec_col", "fact_embedding"),
+        ).select(F.lit(name).alias("scope"), "uuid", "score")
+        out = r if out is None else out.unionByName(r)
+    assert out is not None, "search_all requires at least one scope"
     return out

@@ -51,6 +51,17 @@ def ingest_stream(
         store.merge_upsert("nodes", result["nodes"], array_merge_cols=("aliases",))
         store.merge_upsert("edges", result["edges"], array_merge_cols=("episodes",))
         store.merge_upsert("mentions", result["mentions"])
+        # G6 incremental communities: if a community structure exists, new
+        # entities join the plurality community of their neighbors instead
+        # of re-running label propagation over the whole graph
+        # (ref community_operations.py:252-340)
+        if store.exists("community_members"):
+            from graphiti_spark.operators.communities import attach_new_members
+
+            new_members = attach_new_members(
+                store.read("community_members"), store.read("edges"), result["nodes"]
+            )
+            store.merge_upsert("community_members", new_members, key="edge_uuid")
 
     writer = reader.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_location

@@ -133,3 +133,28 @@ def test_build_community_tables(spark):
     # deterministic: re-running yields identical uuids
     comms2, _ = build_community_tables(nodes, edges)
     assert {r["uuid"] for r in comms2.collect()} == cuuids
+
+
+def test_attach_new_members_plurality(spark):
+    from graphiti_spark.operators.communities import attach_new_members
+
+    members = spark.createDataFrame(
+        [("m1", "g", "c1", "n0"), ("m2", "g", "c1", "n1"), ("m3", "g", "c2", "n2")],
+        schema="edge_uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string",
+    )
+    # new node n9 touches two c1 members and one c2 member -> joins c1;
+    # node n8 has no neighbors -> stays unassigned; n0 already a member
+    edges = _edges_df(spark, [("n9", "n0"), ("n1", "n9"), ("n9", "n2"), ("n0", "n1")])
+    new_nodes = spark.createDataFrame(
+        [("n9", "g"), ("n8", "g"), ("n0", "g")], schema="uuid string, group_id string"
+    )
+    out = attach_new_members(members, edges, new_nodes).collect()
+    assert len(out) == 1
+    assert out[0]["target_node_uuid"] == "n9"
+    assert out[0]["source_node_uuid"] == "c1"
+    # idempotent: applying the union again attaches nothing new
+    members2 = members.unionByName(
+        spark.createDataFrame(out, schema=members.schema)
+    )
+    assert attach_new_members(members2, edges, new_nodes).count() == 0

@@ -87,6 +87,91 @@ def test_node_summaries(spark):
     assert out["lonely"] is None
 
 
+def test_fill_node_attributes(spark):
+    from graphiti_spark.operators.attributes import fill_node_attributes
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    nodes = spark.createDataFrame(
+        [
+            ("n1", "Alice Smith", "g", ["Entity", "Person"], {}),
+            ("n2", "Acme Corp", "g", ["Entity", "Organization"], {}),
+            ("n3", "Springfield", "g", ["Entity", "Place"], {}),
+        ],
+        schema="uuid string, name string, group_id string, labels array<string>, "
+        "attributes map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("e1", "n1", "n2", "WORKS_AT", ts),
+            ("e2", "n1", "n3", "LIVES_IN", ts.replace(day=3)),
+            # later WORKS_AT edge must lose to the earliest one
+            ("e3", "n1", "n3", "WORKS_AT", ts.replace(day=5)),
+        ],
+        schema="uuid string, source_node_uuid string, target_node_uuid string, "
+        "name string, valid_at timestamp",
+    )
+    reg = TypeRegistry()
+    reg.register_entity_type(
+        "Person",
+        StructType([StructField("employer", StringType()), StructField("home", StringType())]),
+    )
+    reg.node_attribute_from_predicate("Person", "employer", "WORKS_AT")
+    reg.node_attribute_from_predicate("Person", "home", "LIVES_IN")
+    out = {r["uuid"]: r["attributes"] for r in fill_node_attributes(nodes, edges, reg).collect()}
+    assert out["n1"] == {"employer": "Acme Corp", "home": "Springfield"}
+    assert out["n2"] == {}  # no rule for Organization
+    with pytest.raises(ValueError):
+        reg.node_attribute_from_predicate("Person", "not_a_field", "X")
+    with pytest.raises(ValueError):
+        reg.node_attribute_from_predicate("Ghost", "employer", "X")
+
+
+def test_fill_edge_attributes(spark):
+    from graphiti_spark.operators.attributes import fill_edge_attributes
+
+    edges = spark.createDataFrame(
+        [
+            ("e1", "WORKS_AT", "alice smith works at acme corp since 2021-03-04"),
+            ("e2", "WORKS_AT", "bob works at globex corp"),
+            ("e3", "LIVES_IN", "bob lives in springfield since 2020-01-01"),
+        ],
+        schema="uuid string, name string, fact string",
+    )
+    reg = TypeRegistry()
+    reg.register_edge_type("WORKS_AT", StructType([StructField("since", StringType())]))
+    reg.edge_attribute_from_fact("WORKS_AT", "since", r"since (\d{4}-\d{2}-\d{2})")
+    out = {r["uuid"]: r["attributes"] for r in fill_edge_attributes(edges, reg).collect()}
+    assert out["e1"] == {"since": "2021-03-04"}
+    assert out["e2"] == {}  # pattern unmatched -> field absent
+    assert out["e3"] == {}  # LIVES_IN has no registered rules
+
+
+def test_pipeline_with_registry_fills_attributes(spark):
+    """run_pipeline(registry=...) must fill attributes from the extracted
+    graph itself (end-to-end E5/E6)."""
+    from graphiti_spark.datagen import generate_web_pages
+    from graphiti_spark.pipeline import run_pipeline
+    from graphiti_spark.schemas import WEB_PAGES
+
+    rows = generate_web_pages(n_pages=40, seed=7)
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        schema=WEB_PAGES,
+    )
+    reg = TypeRegistry()
+    reg.register_entity_type("Person", StructType([StructField("employer", StringType())]))
+    reg.node_attribute_from_predicate("Person", "employer", "WORKS_AT")
+    result = run_pipeline(spark, pages, with_embeddings=False, registry=reg)
+    filled = (
+        result["nodes"]
+        .filter(F.array_contains("labels", "Person"))
+        .filter(F.size(F.map_keys("attributes")) > 0)
+        .collect()
+    )
+    assert filled, "expected at least one Person with a filled employer attribute"
+    assert all("employer" in r["attributes"] for r in filled)
+
+
 def test_node_summaries_truncates(spark):
     nodes = spark.createDataFrame([("n1", "g", None), ("n2", "g", None)],
                                   schema="uuid string, group_id string, summary string")

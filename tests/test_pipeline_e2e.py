@@ -114,3 +114,30 @@ def test_triple_precision_recall_vs_reference(spark, result):
     print(f"\ntriples: spark={len(got)} ref={len(ref)} precision={p:.4f} recall={r:.4f}")
     assert p >= 0.95, f"precision {p:.4f} < 0.95"
     assert r >= 0.95, f"recall {r:.4f} < 0.95"
+
+
+def test_add_triplets(spark):
+    """ref graphiti.py:1018-1083 add_triplet as a batch: manual facts run the
+    same canonicalization chain, resolving against the existing graph."""
+    from graphiti_spark.pipeline import add_triplets
+
+    existing = spark.createDataFrame(
+        [("ex1", "g", "Alice Smith", ["alice smith"])],
+        schema="uuid string, group_id string, name string, aliases array<string>",
+    )
+    t = spark.createDataFrame(
+        [
+            ("g", "Alice Smith", "WORKS_AT", "Acme Corp"),
+            ("g", "Alice Smith", "WORKS_AT", "Acme Corp"),  # exact dup collapses
+            ("g", "Bob Jones", "LIVES_IN", "Springfield"),
+        ],
+        schema="group_id string, subject string, predicate string, object string",
+    )
+    out = add_triplets(spark, t, existing_nodes=existing)
+    edges = out["edges"].collect()
+    assert len(edges) == 2
+    nodes = {r["name"]: r["uuid"] for r in out["nodes"].collect()}
+    # the existing canonical uuid is adopted for Alice
+    alice_edges = [e for e in edges if e["name"] == "WORKS_AT"]
+    assert alice_edges[0]["source_node_uuid"] == "ex1"
+    assert "Bob Jones" in nodes

@@ -136,3 +136,39 @@ def test_compile_filters(spark):
     pred2 = S.compile_filters([[("tag", "IS NULL", None)]])
     assert [r["uuid"] for r in df.filter(pred2).collect()] == ["a"]
     assert df.filter(S.compile_filters([])).count() == 3
+
+
+def test_provenance_traversals(spark):
+    from graphiti_spark.search import (
+        get_communities_by_nodes,
+        get_episodes_by_mentions,
+        get_mentioned_nodes,
+    )
+
+    nodes = spark.createDataFrame(
+        [("n1", "alice"), ("n2", "acme")], schema="uuid string, name string"
+    )
+    episodes = spark.createDataFrame(
+        [("ep1", "g"), ("ep2", "g")], schema="uuid string, group_id string"
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "ep1", "n1"), ("m2", "ep1", "n2"), ("m3", "ep2", "n2")],
+        schema="uuid string, source_node_uuid string, target_node_uuid string",
+    )
+    communities = spark.createDataFrame([("c1", "comm")], schema="uuid string, name string")
+    members = spark.createDataFrame(
+        [("h1", "c1", "n1")],
+        schema="edge_uuid string, source_node_uuid string, target_node_uuid string",
+    )
+    edges = spark.createDataFrame(
+        [("e1", ["ep2", "ep1"])], schema="uuid string, episodes array<string>"
+    )
+
+    got = {r["uuid"] for r in get_mentioned_nodes(
+        episodes.filter("uuid = 'ep1'"), mentions, nodes).collect()}
+    assert got == {"n1", "n2"}
+    got = {r["uuid"] for r in get_communities_by_nodes(
+        nodes, members, communities).collect()}
+    assert got == {"c1"}
+    got = {r["uuid"] for r in get_episodes_by_mentions(edges, episodes).collect()}
+    assert got == {"ep1", "ep2"}

@@ -66,3 +66,58 @@ def test_filters_applied(spark):
         filters=[[("uuid", "<>", "e1")]],
     )
     assert "e1" not in {r["uuid"] for r in out.collect()}
+
+
+def test_cross_encoder_recipe(spark):
+    from graphiti_spark.search_recipes import EDGE_HYBRID_SEARCH_CROSS_ENCODER
+
+    c = _corpus(spark)
+    out = search(
+        c, "acme corp acquired globex",
+        query_vec=embed_text("acme corp acquired globex"),
+        config=EDGE_HYBRID_SEARCH_CROSS_ENCODER,
+    ).collect()
+    assert out and out[0]["uuid"] == "e3"  # exact token match wins the rerank
+
+
+def test_all_fifteen_recipes_exist():
+    import graphiti_spark.search_recipes as R
+
+    names = [
+        f"{scope}_HYBRID_SEARCH_{rr}"
+        for scope, rrs in [
+            ("EDGE", ["RRF", "MMR", "NODE_DISTANCE", "EPISODE_MENTIONS", "CROSS_ENCODER"]),
+            ("NODE", ["RRF", "MMR", "NODE_DISTANCE", "EPISODE_MENTIONS", "CROSS_ENCODER"]),
+            ("COMMUNITY", ["RRF", "MMR", "CROSS_ENCODER"]),
+            ("COMBINED", ["RRF", "MMR", "CROSS_ENCODER"]),
+        ]
+        for rr in rrs
+    ]
+    assert len(names) == 16  # the 16 canned recipes of search_config_recipes.py:34-223
+    for n in names:
+        assert isinstance(getattr(R, n), R.SearchConfig), n
+
+
+def test_search_all_cross_scope(spark):
+    from graphiti_spark.search_recipes import COMBINED_HYBRID_SEARCH_RRF, search_all
+
+    edges = _corpus(spark)
+    nodes = spark.createDataFrame(
+        [("a", "acme corp", embed_text("acme corp")),
+         ("c", "bob", embed_text("bob")),
+         ("x", "weather station", embed_text("weather station"))],
+        schema="uuid string, name string, name_embedding array<float>",
+    )
+    out = search_all(
+        {
+            "edges": {"corpus": edges, "text_col": "fact", "vec_col": "fact_embedding"},
+            "nodes": {"corpus": nodes, "text_col": "name", "vec_col": "name_embedding"},
+        },
+        "acme corp",
+        query_vec=embed_text("acme corp"),
+        config=COMBINED_HYBRID_SEARCH_RRF,
+    ).collect()
+    scopes = {r["scope"] for r in out}
+    assert scopes == {"edges", "nodes"}
+    node_hits = [r["uuid"] for r in out if r["scope"] == "nodes"]
+    assert "a" in node_hits

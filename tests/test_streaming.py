@@ -68,3 +68,42 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     assert same / len(overlap) >= 0.95
     # uuids unique after merge
     assert nodes2.select("uuid").distinct().count() == nodes2.count()
+
+
+def test_streaming_incremental_communities(spark, tmp_path):
+    """G6: once communities exist, later micro-batches attach NEW entities
+    to neighbor-plurality communities without recomputing LPA — existing
+    assignments are byte-stable across batches."""
+    from graphiti_spark.operators.communities import build_community_tables
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    store_root = str(tmp_path / "graph")
+    ck = str(tmp_path / "ck")
+
+    rows = generate_web_pages(n_pages=60, seed=42)
+    half = len(rows) // 2
+    _write_pages(str(in_dir / "batch1.parquet"), rows[:half])
+    ingest_stream(spark, str(in_dir), store_root, ck).awaitTermination(240)
+
+    store = ParquetStore(spark, store_root)
+    comms, members = build_community_tables(store.read("nodes"), store.read("edges"))
+    store.overwrite("communities", comms)
+    store.overwrite("community_members", members, partition_by=None)
+    before = {
+        r["target_node_uuid"]: r["source_node_uuid"]
+        for r in store.read("community_members").collect()
+    }
+    assert before
+
+    _write_pages(str(in_dir / "batch2.parquet"), rows[half:])
+    ingest_stream(spark, str(in_dir), store_root, ck).awaitTermination(240)
+
+    after = {
+        r["target_node_uuid"]: r["source_node_uuid"]
+        for r in store.read("community_members").collect()
+    }
+    # every pre-existing assignment survives unchanged
+    assert all(after.get(n) == c for n, c in before.items())
+    # and at least one NEW entity joined an existing community
+    assert set(after) - set(before)
