@@ -54,6 +54,24 @@ def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def build_bm25_index(corpus: DataFrame, id_col: str, text_col: str) -> dict:
+    """Precompute the posting table + stats once per corpus version — the
+    100 TB posture the module docstring describes: persist these (posting
+    table partitioned by term) and pass the dict to `bm25_term_scores` so a
+    query touches only its terms' postings instead of re-tokenizing the
+    corpus per call."""
+    postings = tokenize(corpus, id_col, text_col)
+    dls = doc_lengths(corpus, id_col, text_col)
+    n_docs = corpus.count()
+    avgdl_row = dls.agg((F.sum("dl") / F.count("*")).alias("avgdl")).collect()[0]
+    return {
+        "postings": postings,
+        "dls": dls,
+        "n_docs": n_docs,
+        "avgdl": float(avgdl_row["avgdl"]),
+    }
+
+
 def bm25_term_scores(
     corpus: DataFrame,
     id_col: str,
@@ -61,19 +79,21 @@ def bm25_term_scores(
     query_terms: list[str],
     k1: float = BM25_K1,
     b: float = BM25_B,
+    index: dict | None = None,
 ) -> DataFrame:
     """Per-(doc, term) BM25 contributions for the query terms.
 
     Returned unsummed so callers control fusion (and so the driver's
     order-insensitive hash check is float-summation-order-proof); sum with
     groupBy(doc).agg(sum(score)) for the classic ranking.
+
+    `index`: output of build_bm25_index — skips per-call tokenization and
+    corpus statistics entirely.
     """
     spark = corpus.sparkSession
-    postings = tokenize(corpus, id_col, text_col)
-    dls = doc_lengths(corpus, id_col, text_col)
-    n_docs = corpus.count()
-    avgdl_row = dls.agg((F.sum("dl") / F.count("*")).alias("avgdl")).collect()[0]
-    avgdl = float(avgdl_row["avgdl"])
+    index = index or build_bm25_index(corpus, id_col, text_col)
+    postings, dls = index["postings"], index["dls"]
+    n_docs, avgdl = index["n_docs"], index["avgdl"]
 
     qt = spark.createDataFrame([(t,) for t in query_terms], ["term"])
     hits = postings.join(F.broadcast(qt), on="term").join(dls, on="doc")

@@ -172,3 +172,18 @@ def test_provenance_traversals(spark):
     assert got == {"c1"}
     got = {r["uuid"] for r in get_episodes_by_mentions(edges, episodes).collect()}
     assert got == {"ep1", "ep2"}
+
+
+def test_bm25_precomputed_index(spark):
+    from graphiti_spark.search import bm25_term_scores, build_bm25_index
+
+    docs = spark.createDataFrame(
+        [(1, "spark join window"), (2, "hash join loop"), (3, "sort merge")],
+        schema="doc_id long, text string",
+    )
+    idx = build_bm25_index(docs, "doc_id", "text")
+    fresh = bm25_term_scores(docs, "doc_id", "text", ["join", "spark"])
+    reused = bm25_term_scores(docs, "doc_id", "text", ["join", "spark"], index=idx)
+    a = {(r["doc"], r["term"]): round(r["score"], 9) for r in fresh.collect()}
+    b = {(r["doc"], r["term"]): round(r["score"], 9) for r in reused.collect()}
+    assert a == b and a

@@ -92,3 +92,55 @@ def test_remove_episode_cascade(spark):
     # n1 mentioned only by e1 -> deleted; n2 also mentioned by e2 -> kept
     assert {r["uuid"] for r in out["nodes"].collect()} == {"n2"}
     assert {r["uuid"] for r in out["mentions"].collect()} == {"m3"}
+
+
+def test_merge_upsert_partition_restricted(spark, tmp_path):
+    """A micro-batch touching one group must not rewrite other partitions
+    (O(touched partitions) I/O, the copy-on-write MERGE INTO shape)."""
+    import os
+
+    from graphiti_spark.store import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [("u1", "ga", 1), ("u2", "gb", 2)], schema="uuid string, group_id string, v long"
+    )
+    store.merge_upsert("t", base)
+    gb_dir = os.path.join(store.path("t"), "group_id=gb")
+    before = {f: os.path.getmtime(os.path.join(gb_dir, f)) for f in os.listdir(gb_dir)}
+
+    updates = spark.createDataFrame(
+        [("u1", "ga", 10), ("u3", "ga", 3)], schema="uuid string, group_id string, v long"
+    )
+    store.merge_upsert("t", updates)
+
+    rows = {r["uuid"]: (r["group_id"], r["v"]) for r in store.read("t").collect()}
+    assert rows == {"u1": ("ga", 10), "u2": ("gb", 2), "u3": ("ga", 3)}
+    after = {f: os.path.getmtime(os.path.join(gb_dir, f)) for f in os.listdir(gb_dir)}
+    assert after == before  # untouched partition: same files, same mtimes
+
+
+def test_iceberg_merge_sql():
+    from graphiti_spark.store import IcebergStore
+
+    sql = IcebergStore.merge_sql(
+        "cat.ns.edges",
+        ["uuid", "group_id", "fact", "episodes"],
+        key="uuid",
+        array_merge_cols=("episodes",),
+    )
+    assert sql.startswith("MERGE INTO cat.ns.edges AS t USING __graphiti_updates AS u")
+    assert "ON t.uuid = u.uuid" in sql
+    assert "t.fact = u.fact" in sql
+    assert "t.uuid = u.uuid " in sql and "SET t.uuid" not in sql  # key never SET
+    assert (
+        "t.episodes = array_sort(array_distinct(concat(coalesce(t.episodes, array()), "
+        "coalesce(u.episodes, array()))))" in sql
+    )
+    assert sql.endswith("WHEN NOT MATCHED THEN INSERT *")
+
+
+def test_iceberg_unavailable_in_sandbox(spark):
+    from graphiti_spark.store import IcebergStore
+
+    assert not IcebergStore.available(spark, "nosuch_catalog")
