@@ -180,6 +180,54 @@ def _prev_episodes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("uuid", "prev_uuid", (F.col("pos") + 1).cast("long").alias("rn"))
 
 
+def _episode_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the REAL store.retrieve_episodes (S4): last-3 episodes per
+    group at a fixed reference time, chronological."""
+    from graphiti_spark.store import retrieve_episodes
+
+    ev = _t(spark, sf_dir, "events")
+    eps = ev.select(
+        F.col("event_id").cast("string").alias("uuid"),
+        F.col("user_id").cast("string").alias("group_id"),
+        F.col("ts").cast("timestamp").alias("valid_at"),
+        F.lit("text").alias("source"),
+    )
+    ref_time = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    out = retrieve_episodes(eps, ref_time, last_n=3)
+    return out.select("group_id", "uuid", F.unix_micros("valid_at").alias("valid_us"))
+
+
+def _remove_episode_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the REAL store.remove_episode (S11): delete one episode,
+    cascade to the edges it created and the entities only it mentions.
+    Graph mapped from events: episode=event, entity=user, one edge per
+    event with single-episode provenance."""
+    from graphiti_spark.store import remove_episode
+
+    ev = _t(spark, sf_dir, "events")
+    episodes = ev.select(
+        F.col("event_id").cast("string").alias("uuid"),
+        F.col("user_id").cast("string").alias("group_id"),
+    )
+    nodes = ev.select(F.col("user_id").cast("string").alias("uuid")).distinct()
+    edges = ev.select(
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("uuid"),
+        F.array(F.col("event_id").cast("string")).alias("episodes"),
+    )
+    mentions = ev.select(
+        F.concat(F.lit("m"), F.col("event_id").cast("string")).alias("uuid"),
+        F.col("event_id").cast("string").alias("source_node_uuid"),
+        F.col("user_id").cast("string").alias("target_node_uuid"),
+    )
+    out = remove_episode(episodes, nodes, edges, mentions, episode_uuid="42")
+    return (
+        out["episodes"].select(F.lit("episode").alias("kind"), "uuid")
+        .unionByName(out["nodes"].select(F.lit("node").alias("kind"), "uuid"))
+        .unionByName(out["edges"].select(F.lit("edge").alias("kind"), "uuid"))
+        .unionByName(out["mentions"].select(F.lit("mention").alias("kind"), "uuid"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # T1/T2 — first-wins edge dedup on the exact key
 # ---------------------------------------------------------------------------
@@ -418,6 +466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_predicates": _kg_top_predicates,
         "kg_communities": _kg_communities,
         "prev_episodes_topk": _prev_episodes_topk,
+        "episode_retrieval": _episode_retrieval,
+        "remove_episode_cascade": _remove_episode_cascade,
         "edge_dedup_firstwins": _edge_dedup_firstwins,
         "temporal_invalidation": _temporal_invalidation,
         "edge_neardup_merge": _edge_neardup_merge,
@@ -452,6 +502,31 @@ _ORACLES: dict[str, str] = {
             FROM e x JOIN e p ON p.gid = x.gid
                  AND (p.ts < x.ts OR (p.ts = x.ts AND p.uuid < x.uuid))
         ) WHERE rn <= 3
+    """,
+    "episode_retrieval": """
+        WITH e AS (SELECT CAST(event_id AS VARCHAR) AS uuid,
+                          CAST(user_id AS VARCHAR) AS gid, ts
+                   FROM events WHERE ts <= TIMESTAMP '2024-03-01 00:00:00')
+        SELECT gid AS group_id, uuid, epoch_us(ts) AS valid_us FROM (
+            SELECT *, row_number() OVER (PARTITION BY gid
+                                         ORDER BY ts DESC, uuid DESC) AS rn
+            FROM e
+        ) WHERE rn <= 3
+    """,
+    "remove_episode_cascade": """
+        WITH ev AS (SELECT CAST(event_id AS VARCHAR) AS eid,
+                           CAST(user_id AS VARCHAR) AS uid FROM events),
+        orphans AS (SELECT uid FROM ev GROUP BY uid
+                    HAVING count(*) = sum(CASE WHEN eid = '42' THEN 1 ELSE 0 END)
+                       AND sum(CASE WHEN eid = '42' THEN 1 ELSE 0 END) > 0)
+        SELECT 'episode' AS kind, eid AS uuid FROM ev WHERE eid <> '42'
+        UNION ALL
+        SELECT 'node', uid FROM (SELECT DISTINCT uid FROM ev)
+        WHERE uid NOT IN (SELECT uid FROM orphans)
+        UNION ALL
+        SELECT 'edge', 'e' || eid FROM ev WHERE eid <> '42'
+        UNION ALL
+        SELECT 'mention', 'm' || eid FROM ev WHERE eid <> '42'
     """,
     "edge_dedup_firstwins": """
         WITH e AS (SELECT CAST(user_id AS VARCHAR) AS subj, event_type AS obj,

@@ -29,6 +29,7 @@ HEADLINE = [
     "prev_episodes_topk",
     "edge_dedup_firstwins",
     "temporal_invalidation",
+    "edge_neardup_merge",
     "connected_components_graph",
     "dedup_exact",
     "dedup_token_jaccard",

@@ -186,3 +186,15 @@ def min_uuid_map(pairs: list[tuple[str, str]]) -> dict[str, str]:
             parent[hi] = lo
 
     return {u: root_of(u) for u in parent}
+
+
+# U1 — fulltext-query sanitization (ref helpers.py:62-96). Lucene special
+# characters are backslash-escaped; the uppercase letters O/R/N/T/A/D are
+# escaped too so the Lucene keywords OR / NOT / AND can never be formed by
+# user input. Kept for drop-in parity even though this engine's BM25 path
+# (search.tokenize) has no query syntax to inject into.
+_LUCENE_ESCAPED = frozenset('+-&|!(){}[]^"~*?:\\/ORNTAD')
+
+
+def lucene_sanitize(query: str) -> str:
+    return "".join("\\" + c if c in _LUCENE_ESCAPED else c for c in query)

@@ -100,9 +100,14 @@ def dedup_edges(resolved_triples: DataFrame) -> DataFrame:
 EDGE_COSINE_THRESHOLD = 0.6  # ref utils/bulk_utils.py:425
 
 
+ENDPOINT_PAIR_CAP = 10_000  # hub guard: same shape as node_dedup.LSH_BUCKET_CAP
+
+
 def near_duplicate_edge_pairs(
     edges: DataFrame,
     cosine_threshold: float = EDGE_COSINE_THRESHOLD,
+    endpoint_pair_cap: int | None = None,
+    with_tokens: bool = True,
 ) -> DataFrame:
     """T4 candidate generation (ref utils/bulk_utils.py:416-510): pairs of
     edges between the SAME directed endpoint pair (ref :446-450 skips any
@@ -112,8 +117,12 @@ def near_duplicate_edge_pairs(
 
     Output: a_uuid, b_uuid, same_tokens BOOLEAN, cos DOUBLE. The endpoint-
     pair join key bounds the quadratic blowup exactly as the reference's
-    per-pair candidate loop does; hub endpoint pairs are capped by the same
-    salted-join-style AQE skew splitting (keys are already two-sided).
+    per-pair candidate loop does. `endpoint_pair_cap`: endpoint pairs with
+    more parallel (already exact-deduped) edges than the cap are skipped
+    outright — at web scale a hub pair with 10^6 distinct facts would
+    otherwise emit 10^12 candidate rows; skipping mirrors how
+    node_dedup.LSH_BUCKET_CAP makes blocking deliberately approximate
+    (exact-fact dedup has already run for those edges).
     """
     from graphiti_spark.search import _dot, quantize_col
 
@@ -122,12 +131,49 @@ def near_duplicate_edge_pairs(
         "group_id",
         F.col("source_node_uuid").alias("p1"),
         F.col("target_node_uuid").alias("p2"),
-        F.array_distinct(
-            F.filter(F.split(F.lower(F.col("fact")), r"\s+"), lambda x: x != "")
-        ).alias("toks"),
+        "fact",
         (quantize_col(F.col("fact_embedding")) if "fact_embedding" in edges.columns
          else F.lit(None).cast("array<bigint>")).alias("qv"),
     )
+    # singleton endpoint pairs can never produce a candidate — drop them
+    # BEFORE any per-edge feature work. In webtext the overwhelming
+    # majority of endpoint pairs hold exactly one (already exact-deduped)
+    # edge, so this one aggregation shrinks the tokenize/embed work from
+    # |edges| to |edges in multi-edge blocks|.
+    sizes = edges.groupBy(
+        F.col("group_id"),
+        F.col("source_node_uuid").alias("p1"),
+        F.col("target_node_uuid").alias("p2"),
+    ).count()
+    keep = sizes.filter(F.col("count") >= 2)
+    if endpoint_pair_cap is not None:
+        keep = keep.filter(F.col("count") <= endpoint_pair_cap)
+    base = base.join(keep.drop("count"), on=["group_id", "p1", "p2"])
+    if "fact_embedding" not in edges.columns:
+        # embeddings only for the surviving candidates (same kernel the
+        # pipeline uses everywhere; bit-identical to the oracle twin). The
+        # explicit repartition keeps the pandas UDF spread over every core
+        # — AQE would coalesce the small post-join exchange and serialize
+        # the Python stage.
+        from graphiti_spark.functions.udfs import embed_udf
+
+        par = edges.sparkSession.sparkContext.defaultParallelism * 2
+        base = base.repartition(par).withColumn(
+            "qv", quantize_col(embed_udf(F.col("fact")))
+        )
+    # `with_tokens=False` callers (the cosine-only duplicate judgment in
+    # merge_near_duplicate_edges) skip the token arrays entirely — they are
+    # the widest per-row payload in the self-join shuffle
+    if with_tokens:
+        base = base.withColumn(
+            "toks",
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col("fact")), r"\s+"), lambda x: x != "")
+            ),
+        )
+    else:
+        base = base.withColumn("toks", F.lit(None).cast("array<string>"))
+    base = base.drop("fact")
     # norms computed once per EDGE here, not once per PAIR below: the pair
     # join then evaluates a single integer dot per candidate instead of 3
     base = base.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")).cast("double")))
@@ -148,10 +194,15 @@ def near_duplicate_edge_pairs(
         _dot(F.col("a_qv"), F.col("b_qv")).cast("double")
         / (F.col("a_qn") * F.col("b_qn")),
     )
+    keep = (
+        (F.coalesce(overlap, F.lit(False)) | (F.col("cos") >= cosine_threshold))
+        if with_tokens
+        else (F.col("cos") >= cosine_threshold)
+    )
     return (
         pairs.withColumn("same_tokens", overlap)
         .withColumn("cos", cos)
-        .filter(F.col("same_tokens") | (F.col("cos") >= cosine_threshold))
+        .filter(keep)
         .select("a_uuid", "b_uuid", "same_tokens", "cos")
     )
 
@@ -176,27 +227,55 @@ def merge_near_duplicate_edges(
     from graphiti_spark.operators.connected_components import connected_components
 
     pairs = (
-        near_duplicate_edge_pairs(edges, cosine_threshold)
+        near_duplicate_edge_pairs(
+            edges, cosine_threshold, ENDPOINT_PAIR_CAP, with_tokens=False
+        )
         .filter(F.col("cos") >= cosine_threshold)
         .select(F.col("a_uuid").alias("a"), F.col("b_uuid").alias("b"))
+        .persist()
     )
-    canon = connected_components(pairs)
+    # one count job decides the CC path AND materializes the pair list, so
+    # connected_components never recomputes the self-join (nor runs a
+    # discarded probe collect — serial driver time that caps scaling)
+    n_pairs = pairs.count()
+    canon = connected_components(pairs, known_count=n_pairs)
+
+    out_cols = edges.columns
+    ep_merge = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("created_at", "uuid", "episodes"))),
+                lambda s: s.episodes,
+            )
+        )
+    ).alias("_merged_episodes")
+
+    # The canonical map covers ONLY component members (the min_uuid_map
+    # contract) — at web scale a small fraction of the edge table. When it
+    # fits a broadcast, the big table is never shuffled: members are picked
+    # out with broadcast joins, their episodes aggregated (small), and
+    # every non-member passes through untouched via a broadcast anti-join.
+    if n_pairs <= 2_000_000:
+        canon_b = F.broadcast(canon)
+        members = edges.join(canon_b, edges.uuid == canon.id, how="inner").drop("id")
+        merged_eps = members.groupBy(F.col("canonical").alias("comp")).agg(ep_merge)
+        survivors = edges.join(
+            canon_b.select(F.col("id").alias("uuid")), on="uuid", how="left_anti"
+        )
+        canonical_edges = (
+            edges.join(merged_eps, edges.uuid == merged_eps.comp)
+            .withColumn("episodes", F.col("_merged_episodes"))
+            .select(*out_cols)
+        )
+        return survivors.select(*out_cols).unionByName(canonical_edges)
+
+    # huge component maps: classic shuffle path
     tagged = (
         edges.join(canon, edges.uuid == canon.id, how="left")
         .withColumn("comp", F.coalesce(F.col("canonical"), F.col("uuid")))
         .drop("id", "canonical")
     )
-    merged_eps = tagged.groupBy("comp").agg(
-        F.array_distinct(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("created_at", "uuid", "episodes"))),
-                    lambda s: s.episodes,
-                )
-            )
-        ).alias("_merged_episodes")
-    )
-    out_cols = edges.columns
+    merged_eps = tagged.groupBy("comp").agg(ep_merge)
     return (
         edges.join(merged_eps, edges.uuid == merged_eps.comp)
         .withColumn("episodes", F.col("_merged_episodes"))

@@ -67,9 +67,10 @@ def name_keys(raw_mentions: DataFrame) -> DataFrame:
 # Above this many distinct name keys the LSH band join runs distributed;
 # below it the identical kernels run in-process on the driver (the probe
 # already holds the data). Mirrors connected_components' scale-adaptive
-# driver/distributed switch — |distinct names| is orders of magnitude below
-# |mentions|, so even billion-page groups rarely cross this.
-DRIVER_FUZZY_MAX_KEYS = 100_000
+# driver/distributed switch. Sized so the driver path stays sub-second:
+# measured ~30s of serial Python at 100k keys (an Amdahl hole that cut
+# N-vs-4N scaling efficiency in half), vs ~0.2s at 20k.
+DRIVER_FUZZY_MAX_KEYS = 20_000
 
 
 def _driver_fuzzy_pairs(rows) -> list[tuple[str, str]]:
@@ -107,17 +108,33 @@ def _driver_fuzzy_pairs(rows) -> list[tuple[str, str]]:
 
 
 def fuzzy_duplicate_pairs(
-    keys: DataFrame, driver_threshold: int = DRIVER_FUZZY_MAX_KEYS
+    keys: DataFrame,
+    driver_threshold: int = DRIVER_FUZZY_MAX_KEYS,
+    known_count: int | None = None,
 ) -> DataFrame:
     """LSH band join + Jaccard >= 0.9 over high-entropy distinct names.
     Returns pairs(a, b) of pre_ids (a < b), within the same group only.
 
-    Scale-adaptive: one probe job fetches at most threshold+1 keys; if they
-    all fit, the pairs come from the in-process kernel twin (zero further
-    jobs); otherwise the distributed LSH band join below runs."""
+    Scale-adaptive: below `driver_threshold` distinct keys the pairs come
+    from the in-process kernel twin (zero further jobs); above it the
+    distributed LSH band join below runs. Callers that already counted the
+    (persisted) keys pass `known_count` so the distributed path never pays
+    a probe collect."""
     if driver_threshold > 0:
-        sample = keys.select("group_id", "pre_id", "name").limit(driver_threshold + 1).collect()
-        if len(sample) <= driver_threshold:
+        if known_count is not None:
+            if known_count > driver_threshold:
+                sample = None
+            else:
+                sample = keys.select("group_id", "pre_id", "name").collect()
+        else:
+            sample = (
+                keys.select("group_id", "pre_id", "name")
+                .limit(driver_threshold + 1)
+                .collect()
+            )
+            if len(sample) > driver_threshold:
+                sample = None
+        if sample is not None:
             spark = keys.sparkSession
             return spark.createDataFrame(
                 _driver_fuzzy_pairs(sample), schema="a string, b string"
@@ -262,7 +279,12 @@ def resolve_names(raw_mentions: DataFrame, existing_nodes: DataFrame | None = No
         )
         return resolved
 
-    pairs = fuzzy_duplicate_pairs(keys)
+    # keys feed the fuzzy pairing AND the final resolution join: persist +
+    # one count dedupes the distinct-names aggregation (the expensive scan
+    # over all mentions) and picks the fuzzy path without a probe collect
+    keys = keys.persist()
+    n_keys = keys.count()
+    pairs = fuzzy_duplicate_pairs(keys, known_count=n_keys)
     canon = connected_components(pairs)  # (id, canonical) for paired ids only
 
     return keys.join(canon, keys.pre_id == canon.id, how="left").select(

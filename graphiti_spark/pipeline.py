@@ -140,45 +140,40 @@ def run_pipeline(
     # dedup / merge / invalidation are separate stages: merge and
     # invalidation both self-join their input, so each table must be
     # materialized first or the whole upstream DAG runs twice.
-    # Fact embeddings are computed WITH the exact dedup (ref
-    # dedupe_edges_bulk embeds before judging, bulk_utils.py:427-431) so the
-    # near-dup merge can apply the cosine>=0.6 duplicate rule; the explicit
-    # repartition spreads the embed UDF over the full core count (AQE
-    # coalesces the post-aggregation exchange to a handful of partitions
-    # otherwise, serializing the Python stage).
-    n_embed_parts = spark.sparkContext.defaultParallelism * 2
+    # Fact embeddings for the duplicate judgment are computed INSIDE the
+    # merge, only for edges sharing an endpoint pair (the reference embeds
+    # everything up front, bulk_utils.py:427-431, but singleton pairs can
+    # never merge — at web scale that is almost all of them); the full
+    # edge table gets embeddings after invalidation when requested.
+    n_parts = spark.sparkContext.defaultParallelism * 2
 
     def _build_deduped():
-        return (
-            dedup_edges(resolved_triples)
-            .repartition(n_embed_parts)
-            .withColumn("fact_embedding", embed_udf(F.col("fact")))
-        )
+        return dedup_edges(resolved_triples)
 
-    # wave: nodes / edge-dedup / mentions only consume already-materialized
-    # stages and are mutually independent — run their materializing actions
-    # concurrently so job-scheduling barriers overlap (Spark's scheduler
-    # handles concurrent actions from threads; at cluster scale these are
-    # separate jobs sharing executors)
-    from concurrent.futures import ThreadPoolExecutor
+    # nodes / edge-dedup / mentions only consume already-materialized
+    # stages and are mutually independent. For SMALL inputs they run as
+    # concurrent actions from a thread pool: each job alone can't fill the
+    # machine, so overlapping hides per-job scheduling barriers. For LARGE
+    # inputs every stage saturates all cores by itself — interleaving three
+    # shuffle-heavy jobs only thrashes cache and shuffle I/O (measured:
+    # 1.57x wave speedup at 4x cores vs ~3x for the sequential stages), so
+    # they run back to back.
+    build_nodes = lambda: build_canonical_nodes(name_resolution, raw_mentions)  # noqa: E731
+    build_ments = lambda: build_mentions_table(raw_mentions, name_resolution)  # noqa: E731
+    if runner.rows.get("extraction", 0) < 1_000_000:
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_nodes = pool.submit(
-            runner.run,
-            "nodes_canonical",
-            in_fp,
-            lambda: build_canonical_nodes(name_resolution, raw_mentions),
-        )
-        f_deduped = pool.submit(runner.run, "edges_dedup", in_fp, _build_deduped)
-        f_mentions = pool.submit(
-            runner.run,
-            "mentions",
-            in_fp,
-            lambda: build_mentions_table(raw_mentions, name_resolution),
-        )
-        nodes = f_nodes.result()
-        deduped = f_deduped.result()
-        mentions = f_mentions.result()
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_nodes = pool.submit(runner.run, "nodes_canonical", in_fp, build_nodes)
+            f_deduped = pool.submit(runner.run, "edges_dedup", in_fp, _build_deduped)
+            f_mentions = pool.submit(runner.run, "mentions", in_fp, build_ments)
+            nodes = f_nodes.result()
+            deduped = f_deduped.result()
+            mentions = f_mentions.result()
+    else:
+        nodes = runner.run("nodes_canonical", in_fp, build_nodes)
+        deduped = runner.run("edges_dedup", in_fp, _build_deduped)
+        mentions = runner.run("mentions", in_fp, build_ments)
 
     merged = runner.run(
         "edges_merge", in_fp, lambda: merge_near_duplicate_edges(deduped)
@@ -193,8 +188,12 @@ def run_pipeline(
 
     if with_embeddings:
         nodes = nodes.withColumn("name_embedding", embed_udf(F.col("name")))
-    else:
-        edges = edges.drop("fact_embedding")
+        # repartition for the same reason as above: the embed UDF over the
+        # full edge table must not run on a handful of AQE-coalesced
+        # partitions
+        edges = edges.repartition(n_parts).withColumn(
+            "fact_embedding", embed_udf(F.col("fact"))
+        )
 
     if registry is not None:
         from graphiti_spark.ontology import enforce_edge_type_map

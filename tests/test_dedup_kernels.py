@@ -98,3 +98,14 @@ def test_directed_uuid_map_chain():
 def test_min_uuid_map():
     m = K.min_uuid_map([("b", "c"), ("c", "d"), ("x", "y")])
     assert m == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+
+
+def test_lucene_sanitize_ported():
+    # values ported from reference tests/helpers_test.py:177-189
+    from graphiti_spark.kernels import lucene_sanitize
+
+    assert (
+        lucene_sanitize('This has every escape character + - && || ! ( ) { } [ ] ^ " ~ * ? : \\ /')
+        == '\\This has every escape character \\+ \\- \\&\\& \\|\\| \\! \\( \\) \\{ \\} \\[ \\] \\^ \\" \\~ \\* \\? \\: \\\\ \\/'
+    )
+    assert lucene_sanitize('this has no escape characters') == 'this has no escape characters'

@@ -64,3 +64,21 @@ def test_no_cartesian_in_pipeline_outputs(spark, pages_path):
     res = run_pipeline(spark, pages, now=NOW, with_embeddings=False)
     for name in ("nodes", "edges", "mentions"):
         assert "CartesianProduct" not in _plan(res[name]), name
+
+
+def test_merge_pair_join_is_equijoin_no_cartesian(spark):
+    """T4/T5: the near-dup candidate join must hash/sort-merge on the
+    endpoint-pair key, never a cartesian, and the token/vector payloads
+    must not appear in the join condition."""
+    from graphiti_spark.extraction import embed_text
+    from graphiti_spark.operators.edge_ops import near_duplicate_edge_pairs
+
+    edges = spark.createDataFrame(
+        [("e%d" % i, "g", "n1", "n2", "fact %d here" % i, embed_text("fact %d" % i))
+         for i in range(6)],
+        schema="uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string, fact string, fact_embedding array<float>",
+    )
+    plan = _plan(near_duplicate_edge_pairs(edges))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
