@@ -145,10 +145,10 @@ def near_duplicate_edge_pairs(
         F.col("source_node_uuid").alias("p1"),
         F.col("target_node_uuid").alias("p2"),
     ).count()
-    keep = sizes.filter(F.col("count") >= 2)
+    multi_blocks = sizes.filter(F.col("count") >= 2)
     if endpoint_pair_cap is not None:
-        keep = keep.filter(F.col("count") <= endpoint_pair_cap)
-    base = base.join(keep.drop("count"), on=["group_id", "p1", "p2"])
+        multi_blocks = multi_blocks.filter(F.col("count") <= endpoint_pair_cap)
+    base = base.join(multi_blocks.drop("count"), on=["group_id", "p1", "p2"])
     if "fact_embedding" not in edges.columns:
         # embeddings only for the surviving candidates (same kernel the
         # pipeline uses everywhere; bit-identical to the oracle twin). The
@@ -189,8 +189,13 @@ def near_duplicate_edge_pairs(
     )
     pairs = a.join(b, on=["group_id", "p1", "p2"]).filter(F.col("a_uuid") < F.col("b_uuid"))
     overlap = F.arrays_overlap("a_toks", "b_toks")
+    # zero-norm guard: 0/0 would be NaN, and Spark SQL sorts NaN above every
+    # number so `cos >= threshold` would be TRUE — the oracle twin
+    # (_quantized_cosine) returns 0.0 for zero norms, so gate the expression
+    # on both norms being positive (null otherwise; null fails the filter)
     cos = F.when(
-        F.col("a_qv").isNotNull() & F.col("b_qv").isNotNull(),
+        F.col("a_qv").isNotNull() & F.col("b_qv").isNotNull()
+        & (F.col("a_qn") > 0) & (F.col("b_qn") > 0),
         _dot(F.col("a_qv"), F.col("b_qv")).cast("double")
         / (F.col("a_qn") * F.col("b_qn")),
     )
@@ -239,6 +244,11 @@ def merge_near_duplicate_edges(
     # discarded probe collect — serial driver time that caps scaling)
     n_pairs = pairs.count()
     canon = connected_components(pairs, known_count=n_pairs)
+    # connected_components has consumed the pair list by the time it returns
+    # (driver path collects it; distributed path eagerly localCheckpoints the
+    # symmetrized edge list) — release the cache so long-lived sessions
+    # (streaming foreachBatch, notebooks) don't accumulate per-batch RDDs
+    pairs.unpersist()
 
     out_cols = edges.columns
     ep_merge = F.array_distinct(

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 MAX_SEARCH_DEPTH = 3   # ref search_utils.py:71
 DEFAULT_MIN_SCORE = 0.6  # ref search_utils.py:69
 DEFAULT_MMR_LAMBDA = 0.5  # ref search_utils.py:70
+MAX_QUERY_LENGTH = 128  # ref search_utils.py:72,92: over-long queries match nothing
 
 # ---------------------------------------------------------------------------
 # Q1 — BM25 fulltext over a tokenized posting table
@@ -54,14 +55,23 @@ def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def build_bm25_index(corpus: DataFrame, id_col: str, text_col: str) -> dict:
+def build_bm25_index(
+    corpus: DataFrame, id_col: str, text_col: str, cache: bool = True
+) -> dict:
     """Precompute the posting table + stats once per corpus version — the
-    100 TB posture the module docstring describes: persist these (posting
-    table partitioned by term) and pass the dict to `bm25_term_scores` so a
-    query touches only its terms' postings instead of re-tokenizing the
-    corpus per call."""
+    100 TB posture the module docstring describes. The postings and doc
+    lengths are persist()ed, so the advertised reuse is real: the first
+    query materializes the tokenization once and every later
+    `bm25_term_scores` call joins against the cached tables instead of
+    re-tokenizing the corpus. Call `close_bm25_index` when done (or write
+    the frames out as term-partitioned posting tables for a shared index).
+
+    `cache=False` skips the persist — used for single-shot internal calls
+    where caching would leak blocks into a long-lived session."""
     postings = tokenize(corpus, id_col, text_col)
     dls = doc_lengths(corpus, id_col, text_col)
+    if cache:
+        postings, dls = postings.persist(), dls.persist()
     n_docs = corpus.count()
     avgdl_row = dls.agg((F.sum("dl") / F.count("*")).alias("avgdl")).collect()[0]
     return {
@@ -70,6 +80,12 @@ def build_bm25_index(corpus: DataFrame, id_col: str, text_col: str) -> dict:
         "n_docs": n_docs,
         "avgdl": float(avgdl_row["avgdl"]),
     }
+
+
+def close_bm25_index(index: dict) -> None:
+    """Release the cached posting/doc-length tables of build_bm25_index."""
+    index["postings"].unpersist()
+    index["dls"].unpersist()
 
 
 def bm25_term_scores(
@@ -91,7 +107,7 @@ def bm25_term_scores(
     corpus statistics entirely.
     """
     spark = corpus.sparkSession
-    index = index or build_bm25_index(corpus, id_col, text_col)
+    index = index or build_bm25_index(corpus, id_col, text_col, cache=False)
     postings, dls = index["postings"], index["dls"]
     n_docs, avgdl = index["n_docs"], index["avgdl"]
 
@@ -110,7 +126,13 @@ def bm25_term_scores(
 def bm25_search(
     corpus: DataFrame, id_col: str, text_col: str, query: str, limit: int = 10
 ) -> DataFrame:
-    """Classic top-k BM25: doc + summed score, ordered."""
+    """Classic top-k BM25: doc + summed score, ordered. Queries longer than
+    MAX_QUERY_LENGTH words match nothing (ref search_utils.py:92-93 returns
+    the empty fulltext query)."""
+    if len(query.split(" ")) > MAX_QUERY_LENGTH:
+        return corpus.select(F.col(id_col).alias("doc")).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
     terms = [t for t in query.lower().split() if t]
     per_term = bm25_term_scores(corpus, id_col, text_col, terms)
     return (

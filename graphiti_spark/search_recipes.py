@@ -37,12 +37,14 @@ class SearchConfig:
     center_uuid: str | None = None
 
 
-# The 15 canned recipes of search_config_recipes.py:34-223, one per
-# (scope, reranker) combination the reference ships. All run
-# [bm25, cosine_similarity] candidates; "cross_encoder" maps to the
-# deterministic token-overlap reranker (search.token_overlap_rerank — the
-# LLM-free stand-in for the reference's cross-encoder client). COMBINED_*
-# recipes are cross-scope: feed them to `search_all`.
+# The canned recipes of search_config_recipes.py:34-223, one per
+# (scope, reranker) combination the reference ships. Most run
+# [bm25, cosine_similarity] candidates; the EDGE/NODE/COMBINED
+# *_CROSS_ENCODER recipes additionally include bfs (ref :84-94, 146-148,
+# 191-193 — community scope has no bfs method). "cross_encoder" maps to
+# the deterministic token-overlap reranker (search.token_overlap_rerank —
+# the LLM-free stand-in for the reference's cross-encoder client).
+# COMBINED_* recipes are cross-scope: feed them to `search_all`.
 EDGE_HYBRID_SEARCH_RRF = SearchConfig(methods=["bm25", "cosine"], reranker="rrf")
 EDGE_HYBRID_SEARCH_MMR = SearchConfig(methods=["bm25", "cosine"], reranker="mmr")
 EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(
@@ -52,7 +54,7 @@ EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(
     methods=["bm25", "cosine"], reranker="episode_mentions"
 )
 EDGE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
-    methods=["bm25", "cosine"], reranker="cross_encoder"
+    methods=["bm25", "cosine", "bfs"], reranker="cross_encoder"
 )
 NODE_HYBRID_SEARCH_RRF = SearchConfig(methods=["bm25", "cosine"], reranker="rrf")
 NODE_HYBRID_SEARCH_MMR = SearchConfig(methods=["bm25", "cosine"], reranker="mmr")
@@ -63,7 +65,7 @@ NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(
     methods=["bm25", "cosine"], reranker="episode_mentions"
 )
 NODE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
-    methods=["bm25", "cosine"], reranker="cross_encoder"
+    methods=["bm25", "cosine", "bfs"], reranker="cross_encoder"
 )
 COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig(methods=["bm25", "cosine"], reranker="rrf")
 COMMUNITY_HYBRID_SEARCH_MMR = SearchConfig(methods=["bm25", "cosine"], reranker="mmr")
@@ -73,7 +75,7 @@ COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
 COMBINED_HYBRID_SEARCH_RRF = SearchConfig(methods=["bm25", "cosine"], reranker="rrf")
 COMBINED_HYBRID_SEARCH_MMR = SearchConfig(methods=["bm25", "cosine"], reranker="mmr")
 COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
-    methods=["bm25", "cosine"], reranker="cross_encoder"
+    methods=["bm25", "cosine", "bfs"], reranker="cross_encoder"
 )
 
 

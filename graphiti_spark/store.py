@@ -44,11 +44,33 @@ class ParquetStore:
         return self.spark.read.parquet(self.path(table))
 
     def recover(self, table: str) -> None:
-        """If a crash during merge_upsert's commit left only the `__old`
-        backup (final dir missing), restore it."""
+        """Crash recovery for merge_upsert's two commit protocols.
+
+        Table-level: a crash between the table renames leaves only the
+        `__old` backup (final dir missing) — restore it.
+
+        Partition-level: a crash inside the per-partition swap loop can leave
+        `group_id=X__old` dirs under the table root. If the live partition
+        dir is missing the swap died mid-rename — restore the backup; if the
+        live dir exists the swap completed but the backup cleanup didn't —
+        delete it (otherwise Spark partition discovery would read it as
+        partition value 'X__old' and resurrect stale rows under a bogus
+        group_id)."""
+        import shutil
+
         final, bak = self.path(table), self.path(table) + "__old"
         if not os.path.isdir(final) and os.path.isdir(bak):
             os.rename(bak, final)
+        if os.path.isdir(final):
+            for entry in os.listdir(final):
+                if not (entry.startswith("group_id=") and entry.endswith("__old")):
+                    continue
+                stale = os.path.join(final, entry)
+                live = os.path.join(final, entry[: -len("__old")])
+                if os.path.isdir(live):
+                    shutil.rmtree(stale)
+                else:
+                    os.rename(stale, live)
 
     def overwrite(self, table: str, df: DataFrame, partition_by: str | None = "group_id"):
         w = df.write.mode("overwrite")
@@ -86,11 +108,18 @@ class ParquetStore:
         partitioned = "group_id" in updates.columns and self._is_partitioned(table)
         touched: list[str] | None = None
         if partitioned:
-            touched = [
-                r["group_id"]
-                for r in updates.select("group_id").distinct().collect()
-                if r["group_id"] is not None
+            groups = [
+                r["group_id"] for r in updates.select("group_id").distinct().collect()
             ]
+            if any(g is None for g in groups):
+                # null group_id rows land in __HIVE_DEFAULT_PARTITION__,
+                # which the touched-partition scan cannot address by value —
+                # pre-existing null-group rows absent from the batch would be
+                # silently dropped by the swap. Fall back to the full-table
+                # merge, which reads and rewrites every partition.
+                touched = None
+            else:
+                touched = groups
         target = self.read(table)
         if touched is not None:
             # partition pruning: the scan below reads only these directories
@@ -233,7 +262,26 @@ class IcebergStore:
     def qualified(self, table: str) -> str:
         return f"{self.catalog}.{self.namespace}.{table}"
 
-    def ensure_table(self, table: str, like: DataFrame, partition_by: str = "group_id") -> None:
+    # Default write order per table: the reference's range indexes
+    # (graph_queries.py:28-127 — uuid/group_id/name/created_at per label)
+    # map to Iceberg as partition-by group_id (done in ensure_table) plus a
+    # WRITE ORDERED BY sort order, which gives the same point-lookup and
+    # range-scan locality through parquet min/max file skipping.
+    DEFAULT_WRITE_ORDER: tuple[str, ...] = ("uuid",)
+
+    @staticmethod
+    def sort_order_sql(qualified: str, order_by: tuple[str, ...]) -> str:
+        """S9 sort-order DDL (ref graph_queries.py:28-127): files sorted by
+        the lookup keys so MERGE INTO's matched scan prunes by file stats."""
+        return f"ALTER TABLE {qualified} WRITE ORDERED BY ({', '.join(order_by)})"
+
+    def ensure_table(
+        self,
+        table: str,
+        like: DataFrame,
+        partition_by: str = "group_id",
+        write_ordered_by: tuple[str, ...] | None = DEFAULT_WRITE_ORDER,
+    ) -> None:
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in like.schema.fields)
         part = (
             f" PARTITIONED BY ({partition_by})" if partition_by in like.columns else ""
@@ -241,6 +289,10 @@ class IcebergStore:
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self.qualified(table)} ({ddl}) USING iceberg{part}"
         )
+        if write_ordered_by:
+            cols = tuple(c for c in write_ordered_by if c in like.columns)
+            if cols:
+                self.spark.sql(self.sort_order_sql(self.qualified(table), cols))
 
     @staticmethod
     def merge_sql(

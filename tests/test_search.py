@@ -187,3 +187,31 @@ def test_bm25_precomputed_index(spark):
     a = {(r["doc"], r["term"]): round(r["score"], 9) for r in fresh.collect()}
     b = {(r["doc"], r["term"]): round(r["score"], 9) for r in reused.collect()}
     assert a == b and a
+
+
+def test_bm25_max_query_length(spark):
+    """ref search_utils.py:92-93: queries over MAX_QUERY_LENGTH words match
+    nothing (the fulltext query compiles to the empty string)."""
+    from graphiti_spark.search import MAX_QUERY_LENGTH, bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "spark join window")], schema="doc_id long, text string"
+    )
+    over = " ".join(["spark"] * (MAX_QUERY_LENGTH + 1))
+    assert bm25_search(docs, "doc_id", "text", over).count() == 0
+    at_limit = " ".join(["spark"] * MAX_QUERY_LENGTH)
+    assert bm25_search(docs, "doc_id", "text", at_limit).count() == 1
+
+
+def test_bm25_index_is_cached_and_closable(spark):
+    from graphiti_spark.search import build_bm25_index, close_bm25_index
+
+    docs = spark.createDataFrame(
+        [(1, "spark join window"), (2, "hash join loop")],
+        schema="doc_id long, text string",
+    )
+    idx = build_bm25_index(docs, "doc_id", "text")
+    assert idx["postings"].storageLevel.useMemory  # reuse is real, not lazy
+    assert idx["dls"].storageLevel.useMemory
+    close_bm25_index(idx)
+    assert not idx["postings"].storageLevel.useMemory

@@ -121,3 +121,27 @@ def test_search_all_cross_scope(spark):
     assert scopes == {"edges", "nodes"}
     node_hits = [r["uuid"] for r in out if r["scope"] == "nodes"]
     assert "a" in node_hits
+
+
+def test_recipe_method_sets_match_reference():
+    """ref search_config_recipes.py:84-94,146-148,191-193: the EDGE/NODE/
+    COMBINED *_CROSS_ENCODER recipes include bfs; every other recipe (and
+    the community scope, which has no bfs method) runs bm25+cosine only."""
+    import graphiti_spark.search_recipes as R
+
+    with_bfs = {
+        "EDGE_HYBRID_SEARCH_CROSS_ENCODER",
+        "NODE_HYBRID_SEARCH_CROSS_ENCODER",
+        "COMBINED_HYBRID_SEARCH_CROSS_ENCODER",
+    }
+    for scope, rrs in [
+        ("EDGE", ["RRF", "MMR", "NODE_DISTANCE", "EPISODE_MENTIONS", "CROSS_ENCODER"]),
+        ("NODE", ["RRF", "MMR", "NODE_DISTANCE", "EPISODE_MENTIONS", "CROSS_ENCODER"]),
+        ("COMMUNITY", ["RRF", "MMR", "CROSS_ENCODER"]),
+        ("COMBINED", ["RRF", "MMR", "CROSS_ENCODER"]),
+    ]:
+        for rr in rrs:
+            name = f"{scope}_HYBRID_SEARCH_{rr}"
+            cfg = getattr(R, name)
+            want = {"bm25", "cosine", "bfs"} if name in with_bfs else {"bm25", "cosine"}
+            assert set(cfg.methods) == want, name

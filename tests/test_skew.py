@@ -105,3 +105,23 @@ def test_merge_near_duplicate_edges(spark):
     assert out["e1"]["fact"] == "alice is working at acme corp"  # canonical keeps its fact
     assert out["e3"]["episodes"] == ["ep3"]
     assert out["e4"]["episodes"] == ["ep4"]
+
+
+def test_zero_norm_embeddings_never_match(spark):
+    """ADVICE r2: cos of two zero vectors is 0/0 = NaN, and Spark treats NaN
+    as greater than any number — without the norm guard `cos >= 0.6` would
+    spuriously merge. The oracle twin returns 0.0 for zero norms."""
+    from graphiti_spark.operators.edge_ops import near_duplicate_edge_pairs
+
+    zero = [0.0] * 8
+    rows = [
+        ("e1", "g", "n1", "n2", "xq yq", zero),
+        ("e2", "g", "n1", "n2", "zv wv", zero),
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        schema="uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string, fact string, fact_embedding array<float>",
+    )
+    got = near_duplicate_edge_pairs(edges, with_tokens=False).collect()
+    assert got == []

@@ -144,3 +144,56 @@ def test_iceberg_unavailable_in_sandbox(spark):
     from graphiti_spark.store import IcebergStore
 
     assert not IcebergStore.available(spark, "nosuch_catalog")
+
+
+def test_recover_partition_level_old_dirs(spark, tmp_path):
+    """ADVICE r2: a crash inside the per-partition swap loop leaves
+    group_id=X__old dirs — recover() must restore them when the live dir is
+    missing and delete them when the swap had completed (else partition
+    discovery resurrects stale rows under a bogus 'X__old' group)."""
+    import os
+    import shutil
+
+    store = ParquetStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [("u1", "ga", 1), ("u2", "gb", 2)], schema="uuid string, group_id string, v long"
+    )
+    store.merge_upsert("t", base)
+    root = store.path("t")
+
+    # case 1: swap died between the renames — live dir gone, only __old left
+    os.rename(os.path.join(root, "group_id=ga"), os.path.join(root, "group_id=ga__old"))
+    rows = {r["uuid"]: r["group_id"] for r in store.read("t").collect()}
+    assert rows == {"u1": "ga", "u2": "gb"}
+    assert not os.path.isdir(os.path.join(root, "group_id=ga__old"))
+
+    # case 2: swap completed but backup cleanup didn't — both dirs present
+    shutil.copytree(os.path.join(root, "group_id=gb"), os.path.join(root, "group_id=gb__old"))
+    rows = store.read("t").collect()
+    assert {r["group_id"] for r in rows} == {"ga", "gb"}  # no 'gb__old' resurrection
+    assert len(rows) == 2
+    assert not os.path.isdir(os.path.join(root, "group_id=gb__old"))
+
+
+def test_merge_upsert_null_group_falls_back_to_full_merge(spark, tmp_path):
+    """ADVICE r2: updates containing null group_id can't use the
+    partition-restricted path (the default partition isn't addressable by
+    value) — pre-existing null-group rows must survive the merge."""
+    store = ParquetStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [("u1", "ga", 1), ("u2", None, 2)], schema="uuid string, group_id string, v long"
+    )
+    store.merge_upsert("t", base)
+    updates = spark.createDataFrame(
+        [("u3", None, 3)], schema="uuid string, group_id string, v long"
+    )
+    store.merge_upsert("t", updates)
+    rows = {r["uuid"]: (r["group_id"], r["v"]) for r in store.read("t").collect()}
+    assert rows == {"u1": ("ga", 1), "u2": (None, 2), "u3": (None, 3)}
+
+
+def test_iceberg_sort_order_sql():
+    from graphiti_spark.store import IcebergStore
+
+    sql = IcebergStore.sort_order_sql("cat.ns.edges", ("group_id", "uuid"))
+    assert sql == "ALTER TABLE cat.ns.edges WRITE ORDERED BY (group_id, uuid)"
