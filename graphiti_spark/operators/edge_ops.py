@@ -93,6 +93,11 @@ def dedup_edges(resolved_triples: DataFrame) -> DataFrame:
             F.col("w.ep_valid_at").alias("created_at"),
             F.col("w.valid_at").alias("valid_at"),
             F.col("w.invalid_at").alias("invalid_at"),
+            # arrival-order tiebreaks (winner's episode + in-episode triple
+            # position): consumed by invalidate_contradictions to reproduce
+            # the oracle's sequential arrival semantics, dropped there
+            F.col("w.episode_uuid").alias("arr_episode"),
+            F.col("w.triple_idx").alias("arr_idx"),
         )
     )
 
@@ -300,54 +305,115 @@ def invalidate_contradictions(
     hot_threshold: int = 10_000,
     known_edge_count: int | None = None,
 ) -> DataFrame:
-    """T6/T7 interval algebra over contradicting-edge pairs.
+    """T6/T7 interval algebra over contradicting-edge pairs — the exact
+    set-based form of the reference's sequential per-arrival rules
+    (ref edge_operations.py:393-423 contradiction loop, :585-598 new-edge
+    self-expiry), reproduced against an explicit arrival order so the
+    result is row-identical to the chronological oracle (oracle.py):
 
     Contradiction domain (deterministic replacement of the reference's LLM
     judgment, SURVEY.md §2.4 T5): same (group_id, source, predicate),
-    different target. For each edge, invalid_at becomes the minimum
-    valid_at among later contradicting edges that pass the disjointness
-    guards; expired_at = now whenever invalid_at is set.
+    different target, both valid_at non-null. Arrival order is
+    (created_at, arr_episode, arr_idx) when dedup_edges' tiebreak columns
+    are present (dropped from the output), else (valid_at, uuid).
+
+    Per edge E with contradiction set C:
+    1. post-arrival invalid A(E) = E's extracted invalid_at if set (an
+       extracted end date is authoritative at arrival — ref :581-583 sets
+       expired and skips self-expiry); else min{c.valid : c arrived before
+       E, c.valid > E.valid} (self-expiry, :585-598 — no guards).
+    2. later-arrived contradictions truncate further: min{c.valid :
+       c arrived after E, c.valid > E.valid, A(c) null or > E.valid}
+       (the :402-413 disjointness guard, evaluated against c's own
+       post-arrival invalid exactly as the sequential loop sees it).
+    3. invalid_at = least(A(E), that minimum); expired_at = now iff set.
 
     The self-join key (group_id, source, predicate) is dominated by hub
     entities, so it goes through the explicit salted join (operators/skew):
     keys with more than `hot_threshold` edges are split over `num_salts`
     shuffle partitions; the result is row-identical to the plain join.
+    The contradicting-pair set is localCheckpointed (one job) because two
+    aggregation phases consume it; it is tiny relative to the edge table
+    (only same-key different-target pairs with ordered valid_at survive).
     """
     from graphiti_spark.operators.skew import salted_join
 
     keys = ["group_id", "source_node_uuid", "name"]
+    has_arr = "arr_episode" in edges.columns and "arr_idx" in edges.columns
+
+    def arrival():
+        if has_arr:
+            return F.struct(
+                F.col("created_at"), F.col("arr_episode"), F.col("arr_idx")
+            )
+        return F.struct(F.col("valid_at"), F.col("uuid"))
+
     e2 = edges.select(
         *keys,
+        F.col("uuid").alias("uuid2"),
         F.col("target_node_uuid").alias("dst2"),
         F.col("valid_at").alias("valid2"),
-        F.col("invalid_at").alias("invalid2"),
+        arrival().alias("arr2"),
     )
     left = edges.select(
-        "uuid", *keys, "target_node_uuid", "valid_at", "invalid_at"
+        "uuid", *keys, "target_node_uuid", "valid_at", arrival().alias("arr")
     )
     joined = salted_join(
         left, e2, on=keys, salt_col="uuid",
         num_salts=num_salts, hot_threshold=hot_threshold,
         known_left_count=known_edge_count,
     )
-    contradicted = (
+    pairs = (
         joined.filter(
             (F.col("target_node_uuid") != F.col("dst2"))
             & F.col("valid2").isNotNull()
             & F.col("valid_at").isNotNull()
             & (F.col("valid2") > F.col("valid_at"))
-            # guard: intervals not already disjoint (ref :402-413)
-            & (F.col("invalid_at").isNull() | (F.col("invalid_at") > F.col("valid2")))
-            & (F.col("invalid2").isNull() | (F.col("invalid2") > F.col("valid_at")))
         )
-        .groupBy(F.col("uuid").alias("c_uuid"))
-        .agg(F.min("valid2").alias("contradicted_at"))
+        .select("uuid", "uuid2", "valid_at", "valid2", "arr", "arr2")
+        # two aggregation phases read this; checkpoint so the salted join
+        # runs once (auto-released on GC, unlike an unpaired persist)
+        .localCheckpoint(eager=True)
     )
+
+    # phase 1 — self-expiry: min later-valid among EARLIER-arrived
+    # contradictions; applies only when no extracted invalid_at exists
+    self_min = (
+        pairs.filter(F.col("arr2") < F.col("arr"))
+        .groupBy("uuid")
+        .agg(F.min("valid2").alias("_self_min"))
+    )
+    # A(c) for the phase-2 guard: only edges with a non-null post-arrival
+    # invalid matter (null passes the guard), so this stays a small table
+    ext = edges.filter(F.col("invalid_at").isNotNull()).select(
+        "uuid", F.col("invalid_at").alias("_ext")
+    )
+    a_map = (
+        ext.join(self_min, on="uuid", how="full")
+        .select("uuid", F.coalesce("_ext", "_self_min").alias("_a"))
+    )
+
+    # phase 2 — later-arrived contradictions, guarded by A(c)
+    later_min = (
+        pairs.filter(F.col("arr2") > F.col("arr"))
+        .join(
+            a_map.select(F.col("uuid").alias("uuid2"), F.col("_a").alias("_a2")),
+            on="uuid2",
+            how="left",
+        )
+        .filter(F.col("_a2").isNull() | (F.col("_a2") > F.col("valid_at")))
+        .groupBy("uuid")
+        .agg(F.min("valid2").alias("_later_min"))
+    )
+
     out = (
-        edges.join(contradicted, edges.uuid == contradicted.c_uuid, how="left")
-        .drop("c_uuid")
-        .withColumn("invalid_at", F.least("invalid_at", "contradicted_at"))
-        .drop("contradicted_at")
+        edges.join(self_min, on="uuid", how="left")
+        .join(later_min, on="uuid", how="left")
+        .withColumn(
+            "invalid_at",
+            F.least(F.coalesce("invalid_at", "_self_min"), F.col("_later_min")),
+        )
+        .drop("_self_min", "_later_min")
         .withColumn(
             "expired_at",
             F.when(F.col("invalid_at").isNotNull(), F.lit(now_ts)).otherwise(
@@ -355,4 +421,6 @@ def invalidate_contradictions(
             ),
         )
     )
+    if has_arr:
+        out = out.drop("arr_episode", "arr_idx")
     return out

@@ -8,7 +8,7 @@ One Spark job reproduces the reference's 12-step bulk chain
                          │                                  │
                          └─ E3 ─> raw triples ─ D15 ──> T1/T2 dedup
                                                           │
-                                          T6/T7 invalidation ─> edges
+                        T6/T7 invalidation ─> T5/T10 near-dup merge ─> edges
     nodes + mentions + edges ─ S6 ─> materialized tables (+ manifests)
 
 Stage boundaries checkpoint to parquet with lineage manifests so any stage
@@ -175,15 +175,20 @@ def run_pipeline(
         deduped = runner.run("edges_dedup", in_fp, _build_deduped)
         mentions = runner.run("mentions", in_fp, build_ments)
 
-    merged = runner.run(
-        "edges_merge", in_fp, lambda: merge_near_duplicate_edges(deduped)
-    )
-    edges = runner.run(
-        "edges",
+    # Invalidation BEFORE near-dup merge, matching the oracle (oracle.py:169
+    # invalidates at arrival over the full pre-merge edge set, then merges):
+    # a merged-away near-dup may still be the earliest contradiction trigger
+    # for an edge with a different target, and the canonical edge must carry
+    # temporal columns computed against that full set.
+    invalidated = runner.run(
+        "edges_invalidate",
         in_fp,
         lambda: invalidate_contradictions(
-            merged, now, known_edge_count=runner.rows.get("edges_merge")
+            deduped, now, known_edge_count=runner.rows.get("edges_dedup")
         ),
+    )
+    edges = runner.run(
+        "edges", in_fp, lambda: merge_near_duplicate_edges(invalidated)
     )
 
     if with_embeddings:
@@ -289,8 +294,7 @@ def add_triplets(
         .withColumn("fact_embedding", embed_udf(F.col("fact")))
         .persist()
     )
-    merged = merge_near_duplicate_edges(deduped)
-    edges = invalidate_contradictions(merged, now)
+    edges = merge_near_duplicate_edges(invalidate_contradictions(deduped, now))
     mentions = build_mentions_table(m, name_resolution)
     return {"nodes": nodes, "edges": edges, "mentions": mentions, "now": now}
 

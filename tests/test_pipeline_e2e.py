@@ -141,3 +141,76 @@ def test_add_triplets(spark):
     alice_edges = [e for e in edges if e["name"] == "WORKS_AT"]
     assert alice_edges[0]["source_node_uuid"] == "ex1"
     assert "Bob Jones" in nodes
+
+
+def test_temporal_columns_match_oracle(spark, result):
+    """VERDICT r2 #3: the pipeline's (valid_at, invalid_at, expired_at) must
+    equal the oracle's per triple end-to-end — the invalidate-then-merge
+    order is now shared, so the temporal algebra is pinned, not just the
+    triple identity."""
+    from datetime import timezone as _tz
+
+    def norm_ts(t):
+        if t is None:
+            return None
+        if t.tzinfo is not None:
+            t = t.astimezone(_tz.utc).replace(tzinfo=None)
+        return t
+
+    eps = [
+        {
+            "uuid": r["episode_uuid"],
+            "group_id": r["group_id"],
+            "content": r["content"],
+            "valid_at": r["ep_valid_at"],
+        }
+        for r in result["episodes"].collect()
+    ]
+    g = ingest_episodes(eps, NOW)
+    from graphiti_spark import kernels as K
+
+    ref = {
+        (
+            e.group_id,
+            min(g.nodes[e.src]["aliases"]),
+            e.predicate,
+            min(g.nodes[e.dst]["aliases"]),
+            K.normalize_exact(e.fact),
+        ): (norm_ts(e.valid_at), norm_ts(e.invalid_at), norm_ts(e.expired_at))
+        for e in g.edges.values()
+    }
+
+    nodes = result["nodes"].select("uuid", "norm_name")
+    got_rows = (
+        result["edges"]
+        .join(
+            nodes.withColumnRenamed("uuid", "source_node_uuid").withColumnRenamed(
+                "norm_name", "subj_name"
+            ),
+            on="source_node_uuid",
+        )
+        .join(
+            nodes.withColumnRenamed("uuid", "target_node_uuid").withColumnRenamed(
+                "norm_name", "obj_name"
+            ),
+            on="target_node_uuid",
+        )
+        .select(
+            "group_id", "subj_name", "name", "obj_name", "norm_fact",
+            "valid_at", "invalid_at", "expired_at",
+        )
+        .collect()
+    )
+    got = {
+        (r["group_id"], r["subj_name"], r["name"], r["obj_name"], r["norm_fact"]): (
+            norm_ts(r["valid_at"]), norm_ts(r["invalid_at"]), norm_ts(r["expired_at"])
+        )
+        for r in got_rows
+    }
+    shared = set(ref) & set(got)
+    assert len(shared) >= 0.95 * max(len(ref), len(got))  # the P/R gate again
+    diverging = {k for k in shared if ref[k] != got[k]}
+    assert not diverging, (
+        f"{len(diverging)}/{len(shared)} temporal tuples diverge; "
+        f"sample: {sorted(diverging)[:3]}"
+    )
