@@ -217,6 +217,49 @@ def near_duplicate_edge_pairs(
     )
 
 
+def near_dup_canonical_map(
+    edges: DataFrame,
+    cosine_threshold: float = EDGE_COSINE_THRESHOLD,
+) -> tuple[DataFrame, int]:
+    """T5/T10 judgment + union-find, WITHOUT the final rewrite: returns
+    (canonical map (id, canonical), pair count). Split out from
+    `merge_near_duplicate_edges` because the map depends only on columns
+    temporal invalidation never touches (uuid, endpoints, fact embeddings),
+    so the pipeline computes it from the deduped table CONCURRENTLY with
+    invalidation and applies it to the invalidated table afterwards.
+
+    One probe collect (same scale-adaptive shape as connected_components)
+    both fetches the pair list for the exact driver union-find and yields
+    the pair count — for every realistic batch this stage is a single job.
+    Above the probe threshold: persist + count + distributed min-label CC.
+    """
+    from graphiti_spark.operators.connected_components import (
+        DRIVER_CC_MAX_PAIRS,
+        _distributed_cc,
+        _driver_cc_df,
+    )
+
+    pairs = (
+        near_duplicate_edge_pairs(
+            edges, cosine_threshold, ENDPOINT_PAIR_CAP, with_tokens=False
+        )
+        .filter(F.col("cos") >= cosine_threshold)
+        .select(F.col("a_uuid").alias("a"), F.col("b_uuid").alias("b"))
+    )
+    sample = pairs.limit(DRIVER_CC_MAX_PAIRS + 1).collect()
+    if len(sample) <= DRIVER_CC_MAX_PAIRS:
+        return (
+            _driver_cc_df(edges.sparkSession, [(r["a"], r["b"]) for r in sample]),
+            len(sample),
+        )
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    canon = _distributed_cc(pairs)
+    # _distributed_cc checkpointed its output; the pair cache is consumed
+    pairs.unpersist()
+    return canon, n_pairs
+
+
 def merge_near_duplicate_edges(
     edges: DataFrame,
     cosine_threshold: float = EDGE_COSINE_THRESHOLD,
@@ -231,30 +274,18 @@ def merge_near_duplicate_edges(
     reference keeps the canonical EntityEdge object) and absorbs every
     member's episode provenance, ordered by member (created_at, uuid).
 
-    Requires a `fact_embedding` column. Schema is preserved; merged-away
-    edges disappear.
+    Embeds facts internally when no `fact_embedding` column is present.
+    Schema is preserved; merged-away edges disappear.
     """
-    from graphiti_spark.operators.connected_components import connected_components
+    canon, n_pairs = near_dup_canonical_map(edges, cosine_threshold)
+    return apply_edge_merge(edges, canon, n_pairs)
 
-    pairs = (
-        near_duplicate_edge_pairs(
-            edges, cosine_threshold, ENDPOINT_PAIR_CAP, with_tokens=False
-        )
-        .filter(F.col("cos") >= cosine_threshold)
-        .select(F.col("a_uuid").alias("a"), F.col("b_uuid").alias("b"))
-        .persist()
-    )
-    # one count job decides the CC path AND materializes the pair list, so
-    # connected_components never recomputes the self-join (nor runs a
-    # discarded probe collect — serial driver time that caps scaling)
-    n_pairs = pairs.count()
-    canon = connected_components(pairs, known_count=n_pairs)
-    # connected_components has consumed the pair list by the time it returns
-    # (driver path collects it; distributed path eagerly localCheckpoints the
-    # symmetrized edge list) — release the cache so long-lived sessions
-    # (streaming foreachBatch, notebooks) don't accumulate per-batch RDDs
-    pairs.unpersist()
 
+def apply_edge_merge(edges: DataFrame, canon: DataFrame, n_pairs: int) -> DataFrame:
+    """Rewrite step of T5/T10: apply a canonical map (from
+    `near_dup_canonical_map`) to the edge table — merged-away edges
+    disappear, each canonical edge absorbs its members' episode provenance
+    in member (created_at, uuid) order."""
     out_cols = edges.columns
     ep_merge = F.array_distinct(
         F.flatten(
@@ -298,6 +329,9 @@ def merge_near_duplicate_edges(
     )
 
 
+SALT_FAST_PATH_MAX = 1_000_000  # below this, plain join + recompute wins
+
+
 def invalidate_contradictions(
     edges: DataFrame,
     now_ts,
@@ -335,11 +369,19 @@ def invalidate_contradictions(
     The contradicting-pair set is localCheckpointed (one job) because two
     aggregation phases consume it; it is tiny relative to the edge table
     (only same-key different-target pairs with ordered valid_at survive).
+
+    Scale-adaptive (same pattern as connected_components' driver path):
+    when the caller proves the input is small (`known_edge_count` below
+    SALT_FAST_PATH_MAX) the hot-key probe job and the pair checkpoint job
+    are skipped — a plain join recomputed by both phases is cheaper than
+    two extra job barriers at that size, and AQE's skew splitting still
+    covers it. The result is row-identical on every path.
     """
     from graphiti_spark.operators.skew import salted_join
 
     keys = ["group_id", "source_node_uuid", "name"]
     has_arr = "arr_episode" in edges.columns and "arr_idx" in edges.columns
+    small = known_edge_count is not None and known_edge_count <= SALT_FAST_PATH_MAX
 
     def arrival():
         if has_arr:
@@ -358,23 +400,24 @@ def invalidate_contradictions(
     left = edges.select(
         "uuid", *keys, "target_node_uuid", "valid_at", arrival().alias("arr")
     )
-    joined = salted_join(
-        left, e2, on=keys, salt_col="uuid",
-        num_salts=num_salts, hot_threshold=hot_threshold,
-        known_left_count=known_edge_count,
-    )
-    pairs = (
-        joined.filter(
-            (F.col("target_node_uuid") != F.col("dst2"))
-            & F.col("valid2").isNotNull()
-            & F.col("valid_at").isNotNull()
-            & (F.col("valid2") > F.col("valid_at"))
+    if small:
+        joined = left.join(e2, on=keys, how="inner")
+    else:
+        joined = salted_join(
+            left, e2, on=keys, salt_col="uuid",
+            num_salts=num_salts, hot_threshold=hot_threshold,
+            known_left_count=known_edge_count,
         )
-        .select("uuid", "uuid2", "valid_at", "valid2", "arr", "arr2")
+    pairs = joined.filter(
+        (F.col("target_node_uuid") != F.col("dst2"))
+        & F.col("valid2").isNotNull()
+        & F.col("valid_at").isNotNull()
+        & (F.col("valid2") > F.col("valid_at"))
+    ).select("uuid", "uuid2", "valid_at", "valid2", "arr", "arr2")
+    if not small:
         # two aggregation phases read this; checkpoint so the salted join
         # runs once (auto-released on GC, unlike an unpaired persist)
-        .localCheckpoint(eager=True)
-    )
+        pairs = pairs.localCheckpoint(eager=True)
 
     # phase 1 — self-expiry: min later-valid among EARLIER-arrived
     # contradictions; applies only when no extracted invalid_at exists

@@ -31,9 +31,11 @@ from graphiti_spark.functions.udfs import (
 )
 from graphiti_spark.lineage import StageRunner
 from graphiti_spark.operators.edge_ops import (
+    apply_edge_merge,
     dedup_edges,
     invalidate_contradictions,
     merge_near_duplicate_edges,
+    near_dup_canonical_map,
     rewrite_pointers,
 )
 from graphiti_spark.operators.node_dedup import (
@@ -137,18 +139,30 @@ def run_pipeline(
     )
 
     resolved_triples = rewrite_pointers(raw_triples, name_resolution)
-    # dedup / merge / invalidation are separate stages: merge and
-    # invalidation both self-join their input, so each table must be
+    # dedup / invalidation / merge are separate stages: invalidation and
+    # merge both self-join their input, so each table must be
     # materialized first or the whole upstream DAG runs twice.
-    # Fact embeddings for the duplicate judgment are computed INSIDE the
-    # merge, only for edges sharing an endpoint pair (the reference embeds
-    # everything up front, bulk_utils.py:427-431, but singleton pairs can
-    # never merge — at web scale that is almost all of them); the full
-    # edge table gets embeddings after invalidation when requested.
+    # With embeddings requested they are computed once in the dedup stage
+    # and reused by the merge judgment and the final table; without them
+    # (P/R tests) the merge embeds only edges sharing an endpoint pair —
+    # singleton pairs can never merge, and at web scale that is almost
+    # all of them.
     n_parts = spark.sparkContext.defaultParallelism * 2
 
     def _build_deduped():
-        return dedup_edges(resolved_triples)
+        d = dedup_edges(resolved_triples)
+        if with_embeddings:
+            # embed ONCE here (the reference also embeds up front,
+            # bulk_utils.py:427-431): the near-dup merge reuses the column
+            # (skipping its internal embed pass + repartition shuffle) and
+            # the canonical edge keeps its own fact, so the final table's
+            # embeddings are these exact vectors — no re-embed at write.
+            # The explicit repartition spreads the pandas UDF over every
+            # core; AQE would coalesce the small upstream exchange.
+            d = d.repartition(n_parts).withColumn(
+                "fact_embedding", embed_udf(F.col("fact"))
+            )
+        return d
 
     # nodes / edge-dedup / mentions only consume already-materialized
     # stages and are mutually independent. For SMALL inputs they run as
@@ -180,25 +194,33 @@ def run_pipeline(
     # a merged-away near-dup may still be the earliest contradiction trigger
     # for an edge with a different target, and the canonical edge must carry
     # temporal columns computed against that full set.
-    invalidated = runner.run(
-        "edges_invalidate",
-        in_fp,
-        lambda: invalidate_contradictions(
-            deduped, now, known_edge_count=runner.rows.get("edges_dedup")
-        ),
+    #
+    # The near-dup canonical map depends only on columns invalidation never
+    # touches (uuid, endpoints, fact embeddings), so it is computed from the
+    # deduped table CONCURRENTLY with invalidation — the two heaviest jobs
+    # overlap — and applied to the invalidated table afterwards. Result is
+    # identical to merge_near_duplicate_edges(invalidated).
+    build_inv = lambda: invalidate_contradictions(  # noqa: E731
+        deduped, now, known_edge_count=runner.rows.get("edges_dedup")
     )
+    if runner.rows.get("edges_dedup", 0) < 1_000_000:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_inv = pool.submit(runner.run, "edges_invalidate", in_fp, build_inv)
+            f_canon = pool.submit(near_dup_canonical_map, deduped)
+            invalidated = f_inv.result()
+            canon, n_pairs = f_canon.result()
+    else:
+        invalidated = runner.run("edges_invalidate", in_fp, build_inv)
+        canon, n_pairs = near_dup_canonical_map(deduped)
     edges = runner.run(
-        "edges", in_fp, lambda: merge_near_duplicate_edges(invalidated)
+        "edges", in_fp, lambda: apply_edge_merge(invalidated, canon, n_pairs)
     )
 
     if with_embeddings:
+        # edges already carry fact_embedding from the edges_dedup stage
         nodes = nodes.withColumn("name_embedding", embed_udf(F.col("name")))
-        # repartition for the same reason as above: the embed UDF over the
-        # full edge table must not run on a handful of AQE-coalesced
-        # partitions
-        edges = edges.repartition(n_parts).withColumn(
-            "fact_embedding", embed_udf(F.col("fact"))
-        )
 
     if registry is not None:
         from graphiti_spark.ontology import enforce_edge_type_map
