@@ -474,7 +474,9 @@ def ann_topk(
     )
 
 
-N_HYPERPLANES = 8
+N_LSH_TABLES = 10
+N_LSH_BITS = 6
+N_PROBE_BITS = 1
 
 
 def lsh_bucketed_ann(
@@ -483,38 +485,74 @@ def lsh_bucketed_ann(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = N_LSH_TABLES,
+    n_bits: int = N_LSH_BITS,
+    probe_bits: int = N_PROBE_BITS,
 ) -> DataFrame:
-    """Scale-path ANN: random-hyperplane sign buckets (seeded, derived from
-    dimension-index hashes) shrink the candidate set; exact cosine rerank
-    inside the bucket. Recall < 1 by design — this is the 100 TB path; the
-    brute-force form above is the oracle."""
+    """Scale-path ANN: multi-table random-hyperplane LSH with 1-bit
+    multiprobe, exact cosine rerank inside the candidate union.
+
+    Each of `n_tables` tables signs the vector against `n_bits` seeded
+    hyperplanes; a candidate is anyone sharing a (table, signature) bucket
+    with the query, where the query additionally probes every signature
+    within hamming distance `probe_bits` (0 disables probing). Recall for
+    a neighbor at angle theta: per-plane agreement p = 1 - theta/pi, so
+    recall = 1 - (1 - P_ham<=probe(p, n_bits))^n_tables — tunable to any
+    target by (n_tables, n_bits). Defaults (10 tables x 6 bits, 1-bit
+    probe) measure >= 0.9 recall@10 even on a near-orthogonal corpus
+    (top-10 cosine ~0.3; tests/test_dedup_recall.py pins both recall and
+    candidate pruning). At 100 TB raise n_bits ~ log2(n / target bucket
+    size): pruning improves exponentially in n_bits while the planted
+    near-dup recall (cos >= 0.9, p ~ 0.9) stays high; on a corpus whose
+    neighbors are barely above random alignment no LSH family can both
+    recall and prune — that is a data property, not an index defect.
+    The candidate index is n_tables rows per vector (the standard L-table
+    storage cost); queries are broadcast. Brute-force ann_topk above is
+    the oracle."""
     import numpy as np
 
     rng = np.random.RandomState(7)
     first = embs.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"])
-    planes = rng.randn(N_HYPERPLANES, dim)
+    planes = rng.randn(n_tables * n_bits, dim)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
 
-    @F.pandas_udf(LongType())
-    def bucket_udf(vecs: pd.Series) -> pd.Series:
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        signs = (mat @ planes.T) > 0
-        vals = np.zeros(len(vecs), dtype=np.int64)
-        for i in range(N_HYPERPLANES):
-            vals |= signs[:, i].astype(np.int64) << i
-        return pd.Series(vals)
+        signs = (mat @ planes.T) > 0  # (n, tables*bits)
+        sigs = signs.reshape(len(vecs), n_tables, n_bits).astype(np.int64) @ weights
+        return pd.Series(list(sigs))
 
     cb = embs.select(
         F.col(id_col).cast("string").alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        bucket_udf(F.col(vec_col)).alias("bucket"),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "sig"),
     )
     qb = queries.select(
         F.col(id_col).cast("string").alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        bucket_udf(F.col(vec_col)).alias("bucket"),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "sig"),
     )
-    joined = cb.join(F.broadcast(qb), on="bucket").filter(F.col("q_id") != F.col("c_id"))
+    if probe_bits >= 1:
+        # probe every 1-bit flip of the signature (hamming <= 1 covered);
+        # generated JVM-side so the index side stays single-signature
+        qb = qb.withColumn(
+            "sig",
+            F.explode(
+                F.expr(
+                    f"concat(array(sig), transform(sequence(0, {n_bits - 1}),"
+                    " i -> sig ^ shiftleft(1, i)))"
+                )
+            ),
+        )
+    joined = (
+        cb.join(F.broadcast(qb), on=["tbl", "sig"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
     qv = quantize_col(F.col("q_vec"))
     cv = quantize_col(F.col("c_vec"))
     cos = _dot(qv, cv).cast("double") / (

@@ -70,3 +70,59 @@ def test_simhash_finds_near_identical_docs(spark, shingle_truth):
     assert near_identical
     recall = sum(1 for k in near_identical if k in sim) / len(near_identical)
     assert recall >= 0.8
+
+
+def test_lsh_ann_recall_near_orthogonal(spark):
+    """Recall@10 of the multi-table LSH index vs brute-force ann_topk on the
+    sf0.01 embeddings corpus — the HARD case: top-10 neighbors there sit at
+    cosine ~0.3, barely above random alignment, so per-plane agreement is
+    only ~0.62 and recall must come from table multiplicity + multiprobe
+    (measured 0.918 with the 10x6-bit defaults)."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_q, k = 50, 10
+    truth = {
+        (str(r["q_id"]), str(r["c_id"]))
+        for r in dataops.ann_topk(embs, n_queries=n_q, k=k).collect()
+    }
+    assert truth
+    q = embs.filter(F.col("vec_id") < n_q)
+    c = embs.filter(F.col("vec_id") >= n_q)
+    got = {
+        (r["q_id"], r["c_id"])
+        for r in dataops.lsh_bucketed_ann(c, q, k=k).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.85  # measured 0.918
+
+
+def test_lsh_ann_planted_clusters_recall_and_pruning(spark):
+    """On a clustered corpus (the regime the scale path exists for: planted
+    near-dups at cosine ~0.98) the index must be BOTH high-recall and
+    sub-quadratic: recall 1.0 measured, and the candidate set must shrink
+    as n_bits grows (0.61 -> 0.27 -> 0.11 of all pairs at 6/8/10 bits)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(100, 64)
+    rows = [
+        (m * 100 + ci, [float(x) for x in centers[ci] + rng.randn(64) * 0.15])
+        for ci in range(100)
+        for m in range(5)
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    truth = {
+        (str(r["q_id"]), str(r["c_id"]))
+        for r in dataops.ann_topk(df, n_queries=100, k=4).collect()
+    }
+    q = df.filter(F.col("vec_id") < 100)
+    c = df.filter(F.col("vec_id") >= 100)
+    got = {
+        (r["q_id"], r["c_id"])
+        for r in dataops.lsh_bucketed_ann(c, q, k=4, n_bits=8).collect()
+    }
+    assert len(truth & got) / len(truth) >= 0.95  # measured 1.0
+    n_all = 100 * 400
+    cand8 = dataops.lsh_bucketed_ann(c, q, k=10**9, n_bits=8).count()
+    cand10 = dataops.lsh_bucketed_ann(c, q, k=10**9, n_bits=10).count()
+    assert cand8 < 0.45 * n_all  # measured 0.27
+    assert cand10 < cand8  # pruning improves exponentially in n_bits
