@@ -460,6 +460,51 @@ def _keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edge_hybrid_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 per-episode candidate generation (ref edge_operations.py:256-296)
+    on events mapped into the edge schema: existing edges = all events
+    (fact 'u<user> <event_type>', embedding = embeddings[event_id % 500]),
+    new edges = events with event_id < 30 (embedding drawn from a different
+    index for odd ids so both search legs are exercised: even-id queries
+    share a vector with ~n/500 candidates at cosine exactly 1.0, every
+    query shares fact terms with same-user and same-type candidates)."""
+    from graphiti_spark.operators.edge_ops import per_episode_edge_candidates
+
+    ev = _t(spark, sf_dir, "events")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def edge_shape(src_df: DataFrame, uuid_fmt: str) -> DataFrame:
+        return src_df.select(
+            F.format_string(uuid_fmt, F.col("event_id")).alias("uuid"),
+            F.pmod(F.col("user_id"), F.lit(5)).cast("string").alias("group_id"),
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+                "source_node_uuid"
+            ),
+            F.col("event_type").alias("target_node_uuid"),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("u"), F.col("user_id").cast("string")),
+                F.col("event_type"),
+            ).alias("fact"),
+            F.col("embedding").alias("fact_embedding"),
+        )
+
+    existing = edge_shape(
+        ev.join(emb, F.pmod(F.col("event_id"), F.lit(500)) == F.col("vec_id")),
+        "e%07d",
+    )
+    q_key = F.when(
+        F.pmod(F.col("event_id"), F.lit(2)) == 0, F.pmod(F.col("event_id"), F.lit(500))
+    ).otherwise(F.pmod(F.col("event_id") * 7 + 1, F.lit(500)))
+    new = edge_shape(
+        ev.filter(F.col("event_id") < 30).join(emb, q_key == F.col("vec_id")), "q%07d"
+    )
+    out = per_episode_edge_candidates(new, existing, k=10)
+    return out.select(
+        "q_uuid", "cand_uuid", "restricted", "rrf_x1e6", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pipeline_edges": _kg_pipeline_edges,
@@ -484,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "bm25_term_scores": _bm25_term_scores,
         "rrf_fusion": _rrf_fusion,
+        "edge_hybrid_candidates": _edge_hybrid_candidates,
         "graph_bfs": _graph_bfs,
         "keyset_pagination": _keyset_pagination,
     }
@@ -676,6 +722,123 @@ _ORACLES: dict[str, str] = {
                   UNION ALL SELECT uuid, 1.0::DOUBLE / rank FROM r2)
         SELECT uuid, CAST(round(sum(part) * 1000000) AS BIGINT) AS rrf_x1e6
         FROM parts GROUP BY uuid
+    """,
+    "edge_hybrid_candidates": """
+        WITH ex AS (
+            SELECT printf('e%07d', ev.event_id) AS uuid,
+                   CAST(ev.user_id % 5 AS VARCHAR) AS grp,
+                   'u' || CAST(ev.user_id AS VARCHAR) AS src,
+                   ev.event_type AS dst,
+                   'u' || CAST(ev.user_id AS VARCHAR) || ' ' || ev.event_type AS fact,
+                   e.embedding AS emb
+            FROM events ev JOIN embeddings e ON ev.event_id % 500 = e.vec_id
+        ),
+        q AS (
+            SELECT printf('q%07d', ev.event_id) AS uuid,
+                   CAST(ev.user_id % 5 AS VARCHAR) AS grp,
+                   'u' || CAST(ev.user_id AS VARCHAR) AS src,
+                   ev.event_type AS dst,
+                   'u' || CAST(ev.user_id AS VARCHAR) || ' ' || ev.event_type AS fact,
+                   e.embedding AS emb
+            FROM events ev JOIN embeddings e
+              ON (CASE WHEN ev.event_id % 2 = 0 THEN ev.event_id % 500
+                       ELSE (ev.event_id * 7 + 1) % 500 END) = e.vec_id
+            WHERE ev.event_id < 30
+        ),
+        ctoks AS (SELECT uuid AS doc, unnest(string_split(fact, ' ')) AS term FROM ex),
+        tf AS (SELECT doc, term, count(*) AS tf FROM ctoks GROUP BY 1, 2),
+        dl AS (SELECT doc, count(*) AS dl FROM ctoks GROUP BY 1),
+        stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ex) AS n,
+                         (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM dl) AS avgdl),
+        dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM tf GROUP BY 1),
+        qtoks AS (SELECT uuid AS qid, term, count(*) AS tf_q FROM
+                      (SELECT uuid, unnest(string_split(fact, ' ')) AS term FROM q)
+                  GROUP BY 1, 2),
+        bm AS (
+            SELECT qt.qid AS q_uuid, tf.doc AS cand_uuid,
+                   sum(qt.tf_q * ln((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                       * ((tf.tf * (1.2::DOUBLE + 1))
+                          / (tf.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl.dl / avgdl)))) AS bm
+            FROM tf JOIN qtoks qt USING (term)
+                 JOIN dl ON dl.doc = tf.doc
+                 JOIN dfreq USING (term)
+                 CROSS JOIN stats
+            GROUP BY 1, 2
+        ),
+        qn AS (SELECT uuid, grp,
+                      list_transform(emb, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+               FROM q),
+        cn AS (SELECT uuid, grp,
+                      list_transform(emb, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+               FROM ex),
+        qnn AS (SELECT uuid, grp, v,
+                       sqrt(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i])) AS DOUBLE)) AS nrm
+                FROM qn),
+        cnn AS (SELECT uuid, grp, v,
+                       sqrt(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i])) AS DOUBLE)) AS nrm
+                FROM cn),
+        cs AS (
+            SELECT q_uuid, cand_uuid, cos FROM (
+                SELECT qq.uuid AS q_uuid, cc.uuid AS cand_uuid,
+                       CAST(list_sum(list_transform(generate_series(1, len(qq.v)), i -> qq.v[i] * cc.v[i])) AS DOUBLE)
+                           / (qq.nrm * cc.nrm) AS cos
+                FROM qnn qq JOIN cnn cc ON qq.grp = cc.grp
+                WHERE qq.nrm > 0 AND cc.nrm > 0)
+            WHERE cos >= 0.6
+        ),
+        pairs0 AS (
+            SELECT coalesce(b.q_uuid, c.q_uuid) AS q_uuid,
+                   coalesce(b.cand_uuid, c.cand_uuid) AS cand_uuid, b.bm, c.cos
+            FROM bm b FULL OUTER JOIN cs c
+              ON b.q_uuid = c.q_uuid AND b.cand_uuid = c.cand_uuid
+        ),
+        pairs AS (
+            SELECT p.q_uuid, p.cand_uuid, p.bm, p.cos,
+                   (qm.src = cm.src AND qm.dst = cm.dst) AS ep_match
+            FROM pairs0 p
+                 JOIN q qm ON p.q_uuid = qm.uuid
+                 JOIN ex cm ON p.cand_uuid = cm.uuid
+            WHERE qm.grp = cm.grp
+        ),
+        parts_u AS (
+            SELECT q_uuid, cand_uuid, 1.0::DOUBLE / r AS part FROM (
+                SELECT q_uuid, cand_uuid,
+                       row_number() OVER (PARTITION BY q_uuid ORDER BY bm DESC, cand_uuid) AS r
+                FROM pairs WHERE bm IS NOT NULL) WHERE r <= 20
+            UNION ALL
+            SELECT q_uuid, cand_uuid, 1.0::DOUBLE / r FROM (
+                SELECT q_uuid, cand_uuid,
+                       row_number() OVER (PARTITION BY q_uuid ORDER BY cos DESC, cand_uuid) AS r
+                FROM pairs WHERE cos IS NOT NULL) WHERE r <= 20
+        ),
+        fused_u AS (SELECT q_uuid, cand_uuid, sum(part) AS score FROM parts_u GROUP BY 1, 2),
+        out_u AS (
+            SELECT q_uuid, cand_uuid, FALSE AS restricted,
+                   CAST(round(score * 1000000) AS BIGINT) AS rrf_x1e6,
+                   row_number() OVER (PARTITION BY q_uuid ORDER BY score DESC, cand_uuid) AS rank
+            FROM fused_u QUALIFY rank <= 10
+        ),
+        parts_r AS (
+            SELECT q_uuid, cand_uuid, 1.0::DOUBLE / r AS part FROM (
+                SELECT q_uuid, cand_uuid,
+                       row_number() OVER (PARTITION BY q_uuid ORDER BY bm DESC, cand_uuid) AS r
+                FROM pairs WHERE bm IS NOT NULL AND ep_match) WHERE r <= 20
+            UNION ALL
+            SELECT q_uuid, cand_uuid, 1.0::DOUBLE / r FROM (
+                SELECT q_uuid, cand_uuid,
+                       row_number() OVER (PARTITION BY q_uuid ORDER BY cos DESC, cand_uuid) AS r
+                FROM pairs WHERE cos IS NOT NULL AND ep_match) WHERE r <= 20
+        ),
+        fused_r AS (SELECT q_uuid, cand_uuid, sum(part) AS score FROM parts_r GROUP BY 1, 2),
+        out_r AS (
+            SELECT q_uuid, cand_uuid, TRUE AS restricted,
+                   CAST(round(score * 1000000) AS BIGINT) AS rrf_x1e6,
+                   row_number() OVER (PARTITION BY q_uuid ORDER BY score DESC, cand_uuid) AS rank
+            FROM fused_r QUALIFY rank <= 10
+        )
+        SELECT q_uuid, cand_uuid, restricted, rrf_x1e6, CAST(rank AS BIGINT) AS rank FROM out_u
+        UNION ALL
+        SELECT q_uuid, cand_uuid, restricted, rrf_x1e6, CAST(rank AS BIGINT) AS rank FROM out_r
     """,
     "graph_bfs": """
         SELECT 'r0' AS id, 0 AS depth

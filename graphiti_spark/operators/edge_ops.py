@@ -18,7 +18,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphiti_spark.functions.udfs import normalize_exact_col
@@ -467,3 +467,138 @@ def invalidate_contradictions(
     if has_arr:
         out = out.drop("arr_episode", "arr_idx")
     return out
+
+
+RELATED_EDGE_LIMIT = 10  # ref search/search_config.py DEFAULT_SEARCH_LIMIT
+
+
+def per_episode_edge_candidates(
+    new_edges: DataFrame,
+    existing_edges: DataFrame,
+    k: int = RELATED_EDGE_LIMIT,
+) -> DataFrame:
+    """T3 per-episode candidate generation (ref utils/maintenance/
+    edge_operations.py:256-296): for each newly extracted edge, hybrid-
+    search (bm25 + cosine, RRF-fused — EDGE_HYBRID_SEARCH_RRF, ref
+    search/search_config_recipes.py:111) the existing graph's edges with
+    the new fact as the query, two ways:
+
+      restricted=true  — candidates limited to existing edges between the
+                         same directed (source, target) endpoints (the
+                         reference's get_between_nodes valid-edges filter,
+                         edges.py:368) -> dedup/resolution candidates;
+      restricted=false — whole-group candidates -> invalidation candidates.
+
+    Whole-batch and set-oriented where the reference loops one DB query per
+    extracted edge: one tokenization of each side, one term join for every
+    query at once, one per-group embedding join — a batch of N new edges
+    costs the same number of Spark jobs as a batch of 1. BM25 statistics
+    (n_docs, avgdl, df) are corpus-wide like the reference's single Lucene
+    fulltext index, with the group restriction applied to candidates, and
+    stay inside the plan (1-row aggregate cross-join) so no driver action
+    is spent on them. Cosine keeps the reference's DEFAULT_MIN_SCORE gate;
+    each method contributes its top 2k ranks per scope (ref search.py:205
+    oversample) before RRF.
+
+    Requires `fact_embedding` on both sides for the cosine leg (absent ->
+    bm25-only, like a reference deployment without an embedder). Output:
+    q_uuid, cand_uuid, restricted, rrf_x1e6 (score * 1e6, bigint —
+    engine-exact), rank — ties broken by ascending cand_uuid.
+    """
+    from graphiti_spark.search import (
+        DEFAULT_MIN_SCORE,
+        _dot,
+        bm25_multi_scores,
+        quantize_col,
+    )
+
+    have_vec = (
+        "fact_embedding" in new_edges.columns
+        and "fact_embedding" in existing_edges.columns
+    )
+    qmeta = new_edges.select(
+        F.col("uuid").alias("q_uuid"),
+        F.col("group_id").alias("q_group"),
+        F.col("source_node_uuid").alias("q_src"),
+        F.col("target_node_uuid").alias("q_dst"),
+    )
+    cmeta = existing_edges.select(
+        F.col("uuid").alias("cand_uuid"),
+        F.col("group_id").alias("c_group"),
+        F.col("source_node_uuid").alias("c_src"),
+        F.col("target_node_uuid").alias("c_dst"),
+    )
+
+    bm = bm25_multi_scores(
+        existing_edges.select(F.col("uuid").alias("doc"), "fact"),
+        new_edges.select(F.col("uuid").alias("q"), "fact"),
+    ).select(F.col("q").alias("q_uuid"), F.col("doc").alias("cand_uuid"), "bm")
+
+    if have_vec:
+        qv = new_edges.select(
+            F.col("uuid").alias("q_uuid"),
+            F.col("group_id").alias("g"),
+            quantize_col(F.col("fact_embedding")).alias("q_qv"),
+        ).withColumn("q_qn", F.sqrt(_dot(F.col("q_qv"), F.col("q_qv")).cast("double")))
+        cv = existing_edges.select(
+            F.col("uuid").alias("cand_uuid"),
+            F.col("group_id").alias("g"),
+            quantize_col(F.col("fact_embedding")).alias("c_qv"),
+        ).withColumn("c_qn", F.sqrt(_dot(F.col("c_qv"), F.col("c_qv")).cast("double")))
+        cos_expr = F.when(
+            (F.col("q_qn") > 0) & (F.col("c_qn") > 0),
+            _dot(F.col("q_qv"), F.col("c_qv")).cast("double")
+            / (F.col("q_qn") * F.col("c_qn")),
+        )
+        cs = (
+            qv.join(cv, on="g")
+            .withColumn("cos", cos_expr)
+            .filter(F.col("cos") >= DEFAULT_MIN_SCORE)
+            .select("q_uuid", "cand_uuid", "cos")
+        )
+        pairs = bm.join(cs, on=["q_uuid", "cand_uuid"], how="full_outer")
+    else:
+        pairs = bm.withColumn("cos", F.lit(None).cast("double"))
+
+    pairs = (
+        pairs.join(qmeta, on="q_uuid")
+        .join(cmeta, on="cand_uuid")
+        .filter(F.col("q_group") == F.col("c_group"))
+        .withColumn(
+            "endpoint_match",
+            (F.col("q_src") == F.col("c_src")) & (F.col("q_dst") == F.col("c_dst")),
+        )
+        .select("q_uuid", "cand_uuid", "bm", "cos", "endpoint_match")
+    )
+
+    def _scope(subset: DataFrame, restricted: bool) -> DataFrame:
+        wb = Window.partitionBy("q_uuid").orderBy(F.desc("bm"), F.asc("cand_uuid"))
+        wc = Window.partitionBy("q_uuid").orderBy(F.desc("cos"), F.asc("cand_uuid"))
+        parts = (
+            subset.filter(F.col("bm").isNotNull())
+            .withColumn("r", F.row_number().over(wb))
+            .filter(F.col("r") <= 2 * k)
+            .select("q_uuid", "cand_uuid", (F.lit(1.0) / F.col("r")).alias("part"))
+        ).unionByName(
+            subset.filter(F.col("cos").isNotNull())
+            .withColumn("r", F.row_number().over(wc))
+            .filter(F.col("r") <= 2 * k)
+            .select("q_uuid", "cand_uuid", (F.lit(1.0) / F.col("r")).alias("part"))
+        )
+        fused = parts.groupBy("q_uuid", "cand_uuid").agg(F.sum("part").alias("score"))
+        wr = Window.partitionBy("q_uuid").orderBy(F.desc("score"), F.asc("cand_uuid"))
+        return (
+            fused.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select(
+                "q_uuid",
+                "cand_uuid",
+                F.lit(restricted).alias("restricted"),
+                F.round(F.col("score") * 1e6).cast("long").alias("rrf_x1e6"),
+                "rank",
+            )
+        )
+
+    return _scope(pairs, False).unionByName(
+        _scope(pairs.filter(F.col("endpoint_match")), True)
+    )

@@ -123,6 +123,51 @@ def bm25_term_scores(
     return hits.select("doc", "term", (idf * tf_part).alias("score"))
 
 
+def bm25_multi_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batch BM25: every query document scored against every corpus document
+    they share a term with, in ONE term join — the set-oriented form of
+    looping bm25_search over queries (used by the per-episode edge
+    candidate generator, ref edge_operations.py:267-290 runs one fulltext
+    query per extracted edge).
+
+    corpus: (doc, fact), queries: (q, fact). Both sides tokenized with the
+    SAME whitespace rule (no case folding on either — query text here is
+    itself a stored fact, not user input). A term repeated in a query
+    contributes once per occurrence, matching bm25_search's term-list
+    semantics. Corpus statistics stay inside the plan (1-row aggregate
+    cross-join) — no driver action.
+
+    Output: q, doc, bm (summed score over shared terms).
+    """
+    postings = tokenize(corpus, "doc", "fact")
+    dls = doc_lengths(corpus, "doc", "fact")
+    stats = dls.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = postings.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    qterms = tokenize(queries, "q", "fact").withColumnRenamed("tf", "tf_q")
+    hits = (
+        postings.join(qterms.withColumnRenamed("doc", "q"), on="term")
+        .join(dls, on="doc")
+        .join(dfreq, on="term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        hits.select("q", "doc", (F.col("tf_q") * idf * tf_part).alias("s"))
+        .groupBy("q", "doc")
+        .agg(F.sum("s").alias("bm"))
+    )
+
+
 def bm25_search(
     corpus: DataFrame, id_col: str, text_col: str, query: str, limit: int = 10
 ) -> DataFrame:

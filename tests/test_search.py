@@ -215,3 +215,61 @@ def test_bm25_index_is_cached_and_closable(spark):
     assert idx["dls"].storageLevel.useMemory
     close_bm25_index(idx)
     assert not idx["postings"].storageLevel.useMemory
+
+
+def test_bm25_multi_scores_matches_single_query(spark):
+    """The batch form must reproduce bm25_search's summed scores for each
+    query run individually (same tokenization, no case folding on either
+    side here, so use lowercase facts)."""
+    import graphiti_spark.search as S
+
+    corpus = spark.createDataFrame(
+        [("d1", "alice works at acme"), ("d2", "bob works at globex"),
+         ("d3", "alice married bob"), ("d4", "carol sleeps")],
+        ["doc", "fact"],
+    )
+    queries = spark.createDataFrame(
+        [("q1", "alice works"), ("q2", "bob bob")], ["q", "fact"]
+    )
+    batch = {
+        (r["q"], r["doc"]): r["bm"]
+        for r in S.bm25_multi_scores(corpus, queries).collect()
+    }
+    for qid, qtext in [("q1", "alice works"), ("q2", "bob bob")]:
+        single = {
+            r["doc"]: r["score"]
+            for r in S.bm25_search(corpus, "doc", "fact", qtext, limit=10).collect()
+        }
+        got = {d: s for (q, d), s in batch.items() if q == qid}
+        assert set(got) == set(single)
+        for d in single:
+            assert abs(got[d] - single[d]) < 1e-12
+
+
+def test_per_episode_edge_candidates_scopes(spark):
+    """T3: restricted scope only contains same-directed-endpoint existing
+    edges; unrestricted ranks group-wide; cross-group candidates excluded."""
+    from graphiti_spark.operators.edge_ops import per_episode_edge_candidates
+
+    existing = spark.createDataFrame(
+        [
+            ("e1", "g1", "alice", "acme", "alice works at acme"),
+            ("e2", "g1", "alice", "acme", "alice joined acme"),
+            ("e3", "g1", "bob", "acme", "bob works at acme"),
+            ("e4", "g2", "alice", "acme", "alice works at acme"),
+        ],
+        ["uuid", "group_id", "source_node_uuid", "target_node_uuid", "fact"],
+    )
+    new = spark.createDataFrame(
+        [("n1", "g1", "alice", "acme", "alice works at acme")],
+        ["uuid", "group_id", "source_node_uuid", "target_node_uuid", "fact"],
+    )
+    out = per_episode_edge_candidates(new, existing, k=10).collect()
+    restricted = {r["cand_uuid"] for r in out if r["restricted"]}
+    unrestricted = {r["cand_uuid"] for r in out if not r["restricted"]}
+    assert restricted == {"e1", "e2"}          # same (alice -> acme) only
+    assert unrestricted == {"e1", "e2", "e3"}  # group-wide, e4 is g2
+    # exact-match fact must rank first in both scopes
+    for flag in (True, False):
+        top = [r for r in out if r["restricted"] == flag and r["rank"] == 1]
+        assert top[0]["cand_uuid"] == "e1"
