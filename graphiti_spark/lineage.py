@@ -47,6 +47,11 @@ class StageRunner:
         self.dir = checkpoint_dir
         self.metrics: list[dict] = []
         self.rows: dict[str, int] = {}  # stage -> materialized row count
+        # every frame persist()ed by in-memory stages (plus operator-internal
+        # caches registered by the pipeline); released by the pipeline's
+        # `release()` handle so long-lived sessions (streaming foreachBatch,
+        # notebooks) don't accumulate per-batch cache blocks
+        self.persisted: list[DataFrame] = []
 
     def run(self, stage: str, input_fingerprint: str, build) -> DataFrame:
         """build: () -> DataFrame. Returns the (possibly reloaded) output."""
@@ -58,6 +63,7 @@ class StageRunner:
             # the same cache blocks — duplicated upstream computation plus
             # block-lock contention that grows with core count.
             df = build().persist()
+            self.persisted.append(df)
             n = df.count()
             self.rows[stage] = n
             self.metrics.append(

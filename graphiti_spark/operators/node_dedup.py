@@ -195,8 +195,16 @@ def fuzzy_duplicate_pairs(
     ).select("a", "b")
 
 
-def resolve_names(raw_mentions: DataFrame, existing_nodes: DataFrame | None = None) -> DataFrame:
+def resolve_names(
+    raw_mentions: DataFrame,
+    existing_nodes: DataFrame | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
     """Global canonicalization map: one row per distinct (group_id, name key).
+
+    `cache_registry`: optional list the internal key cache is appended to,
+    so a long-lived caller (streaming foreachBatch) can unpersist it after
+    the resolution output is materialized.
 
     Returns name_resolution(group_id, norm_exact, name, entity_types,
     canonical_id) — the D15 pointer-rewrite map.
@@ -283,6 +291,8 @@ def resolve_names(raw_mentions: DataFrame, existing_nodes: DataFrame | None = No
     # one count dedupes the distinct-names aggregation (the expensive scan
     # over all mentions) and picks the fuzzy path without a probe collect
     keys = keys.persist()
+    if cache_registry is not None:
+        cache_registry.append(keys)
     n_keys = keys.count()
     pairs = fuzzy_duplicate_pairs(keys, known_count=n_keys)
     canon = connected_components(pairs)  # (id, canonical) for paired ids only

@@ -135,7 +135,11 @@ def run_pipeline(
 
     # D1-D14 global canonicalization
     name_resolution = runner.run(
-        "name_resolution", in_fp, lambda: resolve_names(raw_mentions, existing_nodes)
+        "name_resolution",
+        in_fp,
+        lambda: resolve_names(
+            raw_mentions, existing_nodes, cache_registry=runner.persisted
+        ),
     )
 
     resolved_triples = rewrite_pointers(raw_triples, name_resolution)
@@ -256,6 +260,11 @@ def run_pipeline(
         "mentions": mentions,
         "metrics": runner.metrics,
         "now": now,
+        # unpersist every stage/operator cache created by this run — call
+        # after the outputs are materialized (written/collected). Without
+        # it a long-lived session accumulates per-batch cache blocks
+        # (streaming foreachBatch, notebooks).
+        "release": lambda: [df.unpersist() for df in runner.persisted],
     }
 
 
@@ -309,16 +318,25 @@ def add_triplets(
         )
         .persist()
     )
-    name_resolution = resolve_names(m, existing_nodes).persist()
+    caches: list[DataFrame] = [m]
+    name_resolution = resolve_names(m, existing_nodes, cache_registry=caches).persist()
+    caches.append(name_resolution)
     nodes = build_canonical_nodes(name_resolution, m)
     deduped = (
         dedup_edges(rewrite_pointers(t, name_resolution))
         .withColumn("fact_embedding", embed_udf(F.col("fact")))
         .persist()
     )
+    caches.append(deduped)
     edges = merge_near_duplicate_edges(invalidate_contradictions(deduped, now))
     mentions = build_mentions_table(m, name_resolution)
-    return {"nodes": nodes, "edges": edges, "mentions": mentions, "now": now}
+    return {
+        "nodes": nodes,
+        "edges": edges,
+        "mentions": mentions,
+        "now": now,
+        "release": lambda: [df.unpersist() for df in caches],
+    }
 
 
 def spark_triple_set(result: dict) -> set[tuple]:

@@ -62,6 +62,9 @@ def ingest_stream(
                 store.read("community_members"), store.read("edges"), result["nodes"]
             )
             store.merge_upsert("community_members", new_members, key="edge_uuid")
+        # every upsert has materialized its input — drop this micro-batch's
+        # stage caches so storage memory stays flat across the stream's life
+        result["release"]()
 
     writer = reader.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_location

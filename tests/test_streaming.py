@@ -107,3 +107,27 @@ def test_streaming_incremental_communities(spark, tmp_path):
     assert all(after.get(n) == c for n, c in before.items())
     # and at least one NEW entity joined an existing community
     assert set(after) - set(before)
+
+
+def test_streaming_soak_no_cache_growth(spark, tmp_path):
+    """VERDICT r02 #4: per-micro-batch stage caches must be released —
+    N successive micro-batches may not grow the persistent-RDD set
+    (a leak here grows executor storage memory for the stream's whole
+    life)."""
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    store_root = str(tmp_path / "graph")
+    rows = generate_web_pages(n_pages=45, seed=7)
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    baseline = n_persistent()
+    third = len(rows) // 3
+    for i in range(3):
+        _write_pages(str(in_dir / f"b{i}.parquet"), rows[i * third:(i + 1) * third])
+        q = ingest_stream(spark, str(in_dir), store_root, str(tmp_path / "ck"))
+        q.awaitTermination(240)
+        assert n_persistent() <= baseline, (
+            f"micro-batch {i} leaked {n_persistent() - baseline} cached RDDs"
+        )
