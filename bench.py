@@ -44,6 +44,7 @@ HEADLINE = [
     "bm25_term_scores",
     "rrf_fusion",
     "graph_bfs",
+    "edge_hybrid_candidates",
 ]
 
 
