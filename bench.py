@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "dedup_embedding_cosine",
     "lang_id",
     "quality_scores",

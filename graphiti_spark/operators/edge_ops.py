@@ -131,20 +131,27 @@ def near_duplicate_edge_pairs(
     """
     from graphiti_spark.search import _dot, quantize_col
 
+    has_vec = "fact_embedding" in edges.columns
+    # fact rides along only when a consumer needs it: token arrays, or the
+    # embed-on-demand path below — the cosine-only caller with embeddings
+    # present (the pipeline's canonical map) never moves the string at all
+    need_fact = with_tokens or not has_vec
     base = edges.select(
         "uuid",
         "group_id",
         F.col("source_node_uuid").alias("p1"),
         F.col("target_node_uuid").alias("p2"),
-        "fact",
-        (quantize_col(F.col("fact_embedding")) if "fact_embedding" in edges.columns
-         else F.lit(None).cast("array<bigint>")).alias("qv"),
+        *(["fact"] if need_fact else []),
+        *(["fact_embedding"] if has_vec else []),
     )
     # singleton endpoint pairs can never produce a candidate — drop them
     # BEFORE any per-edge feature work. In webtext the overwhelming
     # majority of endpoint pairs hold exactly one (already exact-deduped)
-    # edge, so this one aggregation shrinks the tokenize/embed work from
-    # |edges| to |edges in multi-edge blocks|.
+    # edge, so this one aggregation shrinks the tokenize/quantize/embed
+    # work from |edges| to |edges in multi-edge blocks| (~13% on the 400k-
+    # page corpus). The block list is tiny relative to the edge table, so
+    # AQE turns this into a broadcast join (64 MB session threshold) and
+    # the edge side is never shuffled.
     sizes = edges.groupBy(
         F.col("group_id"),
         F.col("source_node_uuid").alias("p1"),
@@ -154,7 +161,15 @@ def near_duplicate_edge_pairs(
     if endpoint_pair_cap is not None:
         multi_blocks = multi_blocks.filter(F.col("count") <= endpoint_pair_cap)
     base = base.join(multi_blocks.drop("count"), on=["group_id", "p1", "p2"])
-    if "fact_embedding" not in edges.columns:
+    if has_vec:
+        # quantize AFTER the block restriction: the 128-element transform is
+        # interpreted (higher-order functions skip codegen), so running it
+        # on the full table costs ~8x the surviving-block work (measured
+        # 68s -> ~20s on the 400k-page corpus at local[8])
+        base = base.withColumn("qv", quantize_col(F.col("fact_embedding"))).drop(
+            "fact_embedding"
+        )
+    else:
         # embeddings only for the surviving candidates (same kernel the
         # pipeline uses everywhere; bit-identical to the oracle twin). The
         # explicit repartition keeps the pandas UDF spread over every core
@@ -217,9 +232,18 @@ def near_duplicate_edge_pairs(
     )
 
 
+# above this many judged pairs the driver union-find hands off to
+# distributed CC; 2M uuid pairs collect in ~250 MB and union-find in
+# seconds, and that serial cost is identical at every cluster size, while
+# iterative distributed CC at this size costs several shuffle rounds that
+# scale WORSE than the serial constant (measured on the 400k-page corpus)
+DRIVER_CC_CACHED_MAX = 2_000_000
+
+
 def near_dup_canonical_map(
     edges: DataFrame,
     cosine_threshold: float = EDGE_COSINE_THRESHOLD,
+    known_edge_count: int | None = None,
 ) -> tuple[DataFrame, int]:
     """T5/T10 judgment + union-find, WITHOUT the final rewrite: returns
     (canonical map (id, canonical), pair count). Split out from
@@ -228,10 +252,19 @@ def near_dup_canonical_map(
     so the pipeline computes it from the deduped table CONCURRENTLY with
     invalidation and applies it to the invalidated table afterwards.
 
-    One probe collect (same scale-adaptive shape as connected_components)
-    both fetches the pair list for the exact driver union-find and yields
-    the pair count — for every realistic batch this stage is a single job.
-    Above the probe threshold: persist + count + distributed min-label CC.
+    Scale-adaptive on the pair DAG itself, not only on the CC algorithm:
+
+    - small input (known_edge_count <= SALT_FAST_PATH_MAX, or unknown): one
+      probe collect both fetches the pair list for the exact driver
+      union-find and yields the pair count — the whole stage is one job.
+    - large input: the probe would be wasted twice over — its limit()
+      executes the candidate DAG with Spark's incremental-limit partition
+      ramp-up (deliberately UNDER-parallelized), and a pair volume above
+      the probe cap then re-runs the full DAG for persist+count. Instead
+      the pair DAG is persisted and counted ONCE at full parallelism;
+      the union-find then reads the cache — collected to the driver below
+      DRIVER_CC_CACHED_MAX (a cache scan + serial union-find, identical
+      cost at every cluster size), distributed min-label CC above it.
     """
     from graphiti_spark.operators.connected_components import (
         DRIVER_CC_MAX_PAIRS,
@@ -246,6 +279,21 @@ def near_dup_canonical_map(
         .filter(F.col("cos") >= cosine_threshold)
         .select(F.col("a_uuid").alias("a"), F.col("b_uuid").alias("b"))
     )
+    if known_edge_count is not None and known_edge_count > SALT_FAST_PATH_MAX:
+        pairs = pairs.persist()
+        n_pairs = pairs.count()
+        if n_pairs <= DRIVER_CC_CACHED_MAX:
+            rows = pairs.collect()
+            pairs.unpersist()
+            return (
+                _driver_cc_df(edges.sparkSession, [(r["a"], r["b"]) for r in rows]),
+                n_pairs,
+            )
+        canon = _distributed_cc(pairs)
+        # _distributed_cc checkpointed its output; the pair cache is consumed
+        pairs.unpersist()
+        return canon, n_pairs
+
     sample = pairs.limit(DRIVER_CC_MAX_PAIRS + 1).collect()
     if len(sample) <= DRIVER_CC_MAX_PAIRS:
         return (
@@ -255,7 +303,6 @@ def near_dup_canonical_map(
     pairs = pairs.persist()
     n_pairs = pairs.count()
     canon = _distributed_cc(pairs)
-    # _distributed_cc checkpointed its output; the pair cache is consumed
     pairs.unpersist()
     return canon, n_pairs
 

@@ -207,17 +207,30 @@ def run_pipeline(
     build_inv = lambda: invalidate_contradictions(  # noqa: E731
         deduped, now, known_edge_count=runner.rows.get("edges_dedup")
     )
+
+    def _timed_canon():
+        import time as _time
+
+        t0 = _time.time()
+        canon, n_pairs = near_dup_canonical_map(
+            deduped, known_edge_count=runner.rows.get("edges_dedup")
+        )
+        runner.metrics.append(
+            {"stage": "edges_canon_map", "sec": round(_time.time() - t0, 3), "rows": n_pairs}
+        )
+        return canon, n_pairs
+
     if runner.rows.get("edges_dedup", 0) < 1_000_000:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_inv = pool.submit(runner.run, "edges_invalidate", in_fp, build_inv)
-            f_canon = pool.submit(near_dup_canonical_map, deduped)
+            f_canon = pool.submit(_timed_canon)
             invalidated = f_inv.result()
             canon, n_pairs = f_canon.result()
     else:
         invalidated = runner.run("edges_invalidate", in_fp, build_inv)
-        canon, n_pairs = near_dup_canonical_map(deduped)
+        canon, n_pairs = _timed_canon()
     edges = runner.run(
         "edges", in_fp, lambda: apply_edge_merge(invalidated, canon, n_pairs)
     )

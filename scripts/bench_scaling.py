@@ -53,8 +53,19 @@ spark.catalog.clearCache()
 out_dir = tempfile.mkdtemp(prefix="graphiti_scale_")
 t0 = time.time()
 res = run_pipeline(spark, pages, now=_FIXED_NOW)
-for name in ("nodes", "edges", "mentions"):
-    res[name].write.mode("overwrite").parquet(os.path.join(out_dir, name))
+# overlap the three table writes (same as bench.py): they are independent
+# jobs, and overlapping hides the scheduling gap between them at BOTH
+# parallelism levels
+from concurrent.futures import ThreadPoolExecutor
+with ThreadPoolExecutor(max_workers=3) as pool:
+    futs = [
+        pool.submit(
+            lambda n=n: res[n].write.mode("overwrite").parquet(os.path.join(out_dir, n))
+        )
+        for n in ("nodes", "edges", "mentions")
+    ]
+    for f in futs:
+        f.result()
 sec = time.time() - t0
 n_triples = spark.read.parquet(os.path.join(out_dir, "edges")).count()
 shutil.rmtree(out_dir, ignore_errors=True)

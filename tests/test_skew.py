@@ -125,3 +125,47 @@ def test_zero_norm_embeddings_never_match(spark):
     )
     got = near_duplicate_edge_pairs(edges, with_tokens=False).collect()
     assert got == []
+
+
+def test_canonical_map_large_input_path_matches_probe_path(spark):
+    """near_dup_canonical_map's large-input branch (known_edge_count above
+    SALT_FAST_PATH_MAX skips the probe, persists the pair DAG once, and
+    collects the union-find input from cache) must produce the identical
+    canonical map as the small-input probe branch."""
+    from datetime import datetime, timezone
+
+    from graphiti_spark.extraction import embed_text
+    from graphiti_spark.operators.edge_ops import (
+        SALT_FAST_PATH_MAX,
+        near_dup_canonical_map,
+    )
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def edge(uuid, src, dst, fact, eps):
+        return (uuid, "g", src, dst, "RELATES", fact, fact.lower(), eps, t0, t0, None,
+                embed_text(fact))
+
+    rows = [
+        edge("e2", "n1", "n2", "alice works at acme corp", ["ep1"]),
+        edge("e1", "n1", "n2", "alice is working at acme corp", ["ep2"]),
+        edge("e3", "n1", "n2", "zq xv yw unrelated entirely", ["ep3"]),
+        edge("e4", "n1", "n3", "alice works at acme corp", ["ep4"]),
+        edge("e5", "n1", "n3", "alice is working at acme corp", ["ep5"]),
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        schema="uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string, name string, fact string, norm_fact string, "
+        "episodes array<string>, created_at timestamp, valid_at timestamp, "
+        "invalid_at timestamp, fact_embedding array<float>",
+    )
+    canon_probe, n_probe = near_dup_canonical_map(edges)
+    canon_large, n_large = near_dup_canonical_map(
+        edges, known_edge_count=SALT_FAST_PATH_MAX + 1
+    )
+    got_probe = sorted(tuple(r) for r in canon_probe.collect())
+    got_large = sorted(tuple(r) for r in canon_large.collect())
+    assert got_probe == got_large
+    assert n_probe == n_large == 2
+    assert got_large == [("e1", "e1"), ("e2", "e1"), ("e4", "e4"), ("e5", "e4")]
