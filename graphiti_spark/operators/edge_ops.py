@@ -344,23 +344,31 @@ def apply_edge_merge(edges: DataFrame, canon: DataFrame, n_pairs: int) -> DataFr
     ).alias("_merged_episodes")
 
     # The canonical map covers ONLY component members (the min_uuid_map
-    # contract) — at web scale a small fraction of the edge table. When it
-    # fits a broadcast, the big table is never shuffled: members are picked
-    # out with broadcast joins, their episodes aggregated (small), and
-    # every non-member passes through untouched via a broadcast anti-join.
+    # contract, self-mappings included) — at web scale a small fraction of
+    # the edge table. When it fits a broadcast, the big table is never
+    # shuffled AND is scanned exactly once: a narrow scan collects member
+    # episodes (small aggregate), then a single full-width pass left-joins
+    # the two broadcast maps, drops merged-away members, and swaps in the
+    # merged provenance. (An earlier 3-scan union formulation was
+    # row-identical but memory-bandwidth-bound — the full-width scan, not
+    # the joins, is the cost at scale.)
     if n_pairs <= 2_000_000:
         canon_b = F.broadcast(canon)
-        members = edges.join(canon_b, edges.uuid == canon.id, how="inner").drop("id")
-        merged_eps = members.groupBy(F.col("canonical").alias("comp")).agg(ep_merge)
-        survivors = edges.join(
-            canon_b.select(F.col("id").alias("uuid")), on="uuid", how="left_anti"
+        member_eps = edges.join(canon_b, edges.uuid == canon.id, how="inner").select(
+            "canonical", "created_at", "uuid", "episodes"
         )
-        canonical_edges = (
-            edges.join(merged_eps, edges.uuid == merged_eps.comp)
-            .withColumn("episodes", F.col("_merged_episodes"))
+        merged_eps = F.broadcast(
+            member_eps.groupBy(F.col("canonical").alias("comp")).agg(ep_merge)
+        )
+        return (
+            edges.join(
+                canon_b.withColumnRenamed("id", "uuid"), on="uuid", how="left"
+            )
+            .join(merged_eps, F.col("uuid") == F.col("comp"), how="left")
+            .filter(F.col("canonical").isNull() | (F.col("canonical") == F.col("uuid")))
+            .withColumn("episodes", F.coalesce("_merged_episodes", "episodes"))
             .select(*out_cols)
         )
-        return survivors.select(*out_cols).unionByName(canonical_edges)
 
     # huge component maps: classic shuffle path
     tagged = (
@@ -378,10 +386,13 @@ def apply_edge_merge(edges: DataFrame, canon: DataFrame, n_pairs: int) -> DataFr
 
 SALT_FAST_PATH_MAX = 1_000_000  # below this, plain join + recompute wins
 
+# invalidation maps up to this many rows are broadcast when applied, so the
+# full-width edge table never crosses an exchange for the final assembly
+INV_MAP_BROADCAST_MAX = 4_000_000
 
-def invalidate_contradictions(
+
+def invalidation_map(
     edges: DataFrame,
-    now_ts,
     num_salts: int = 8,
     hot_threshold: int = 10_000,
     known_edge_count: int | None = None,
@@ -390,13 +401,24 @@ def invalidate_contradictions(
     set-based form of the reference's sequential per-arrival rules
     (ref edge_operations.py:393-423 contradiction loop, :585-598 new-edge
     self-expiry), reproduced against an explicit arrival order so the
-    result is row-identical to the chronological oracle (oracle.py):
+    result is row-identical to the chronological oracle (oracle.py).
+
+    Returns the per-uuid invalidation MAP (uuid, _self_min, _later_min) —
+    only edges with at least one contradiction appear — WITHOUT touching
+    the edge table itself; `apply_invalidation` folds it back in. Splitting
+    the two lets the pipeline keep the map (small) materialized while the
+    full-width edge table stays lazy all the way to the final write.
 
     Contradiction domain (deterministic replacement of the reference's LLM
     judgment, SURVEY.md §2.4 T5): same (group_id, source, predicate),
     different target, both valid_at non-null. Arrival order is
     (created_at, arr_episode, arr_idx) when dedup_edges' tiebreak columns
-    are present (dropped from the output), else (valid_at, uuid).
+    are present, else (valid_at, uuid). Arrival ties are impossible:
+    distinct deduped edges have distinct winner (episode, triple_idx), and
+    the fallback includes the unique uuid — so the pair set carries a
+    single exact `earlier` boolean instead of two arrival structs (the
+    struct payload, with its episode-uuid strings, dominated the
+    checkpoint size of the ~5-pairs-per-edge pair set at scale).
 
     Per edge E with contradiction set C:
     1. post-arrival invalid A(E) = E's extracted invalid_at if set (an
@@ -410,12 +432,13 @@ def invalidate_contradictions(
     3. invalid_at = least(A(E), that minimum); expired_at = now iff set.
 
     The self-join key (group_id, source, predicate) is dominated by hub
-    entities, so it goes through the explicit salted join (operators/skew):
-    keys with more than `hot_threshold` edges are split over `num_salts`
-    shuffle partitions; the result is row-identical to the plain join.
-    The contradicting-pair set is localCheckpointed (one job) because two
-    aggregation phases consume it; it is tiny relative to the edge table
-    (only same-key different-target pairs with ordered valid_at survive).
+    entities, so it goes through the explicit salted join (operators/skew)
+    with a SAMPLED hot-key probe: keys with more than `hot_threshold`
+    edges are split over `num_salts` shuffle partitions; the result is
+    row-identical to the plain join. The contradicting-pair set is
+    localCheckpointed (one job) because two aggregation phases consume it;
+    it is tiny relative to the edge table (only same-key different-target
+    pairs with ordered valid_at survive).
 
     Scale-adaptive (same pattern as connected_components' driver path):
     when the caller proves the input is small (`known_edge_count` below
@@ -430,23 +453,33 @@ def invalidate_contradictions(
     has_arr = "arr_episode" in edges.columns and "arr_idx" in edges.columns
     small = known_edge_count is not None and known_edge_count <= SALT_FAST_PATH_MAX
 
-    def arrival():
-        if has_arr:
-            return F.struct(
-                F.col("created_at"), F.col("arr_episode"), F.col("arr_idx")
-            )
-        return F.struct(F.col("valid_at"), F.col("uuid"))
-
-    e2 = edges.select(
+    # arrival ORDER is all the algebra needs, and comparisons only ever
+    # happen between edges sharing the join key — so a per-key row_number
+    # over the arrival tuple replaces the tuple itself. The self-join's
+    # two sides then project from ONE window child: a single narrow
+    # exchange (reused by both sides) instead of two exchanges dragging
+    # episode-uuid strings, and `earlier` is an integer compare. Ranks are
+    # deterministic: distinct deduped edges have distinct winner
+    # (episode, triple_idx), and the fallback order ends in the unique uuid.
+    order_cols = (
+        [F.col("created_at"), F.col("arr_episode"), F.col("arr_idx")]
+        if has_arr
+        else [F.col("valid_at"), F.col("uuid")]
+    )
+    base = edges.select(
+        "uuid", *keys, "target_node_uuid", "valid_at",
+        F.row_number()
+        .over(Window.partitionBy(*keys).orderBy(*order_cols))
+        .alias("arr_rank"),
+    )
+    e2 = base.select(
         *keys,
         F.col("uuid").alias("uuid2"),
         F.col("target_node_uuid").alias("dst2"),
         F.col("valid_at").alias("valid2"),
-        arrival().alias("arr2"),
+        F.col("arr_rank").alias("rank2"),
     )
-    left = edges.select(
-        "uuid", *keys, "target_node_uuid", "valid_at", arrival().alias("arr")
-    )
+    left = base
     if small:
         joined = left.join(e2, on=keys, how="inner")
     else:
@@ -454,13 +487,18 @@ def invalidate_contradictions(
             left, e2, on=keys, salt_col="uuid",
             num_salts=num_salts, hot_threshold=hot_threshold,
             known_left_count=known_edge_count,
+            probe_sample=0.02,
+            probe_frame=edges.select(*keys),
         )
     pairs = joined.filter(
         (F.col("target_node_uuid") != F.col("dst2"))
         & F.col("valid2").isNotNull()
         & F.col("valid_at").isNotNull()
         & (F.col("valid2") > F.col("valid_at"))
-    ).select("uuid", "uuid2", "valid_at", "valid2", "arr", "arr2")
+    ).select(
+        "uuid", "uuid2", "valid_at", "valid2",
+        (F.col("rank2") < F.col("arr_rank")).alias("earlier"),
+    )
     if not small:
         # two aggregation phases read this; checkpoint so the salted join
         # runs once (auto-released on GC, unlike an unpaired persist)
@@ -469,7 +507,7 @@ def invalidate_contradictions(
     # phase 1 — self-expiry: min later-valid among EARLIER-arrived
     # contradictions; applies only when no extracted invalid_at exists
     self_min = (
-        pairs.filter(F.col("arr2") < F.col("arr"))
+        pairs.filter(F.col("earlier"))
         .groupBy("uuid")
         .agg(F.min("valid2").alias("_self_min"))
     )
@@ -485,7 +523,7 @@ def invalidate_contradictions(
 
     # phase 2 — later-arrived contradictions, guarded by A(c)
     later_min = (
-        pairs.filter(F.col("arr2") > F.col("arr"))
+        pairs.filter(~F.col("earlier"))
         .join(
             a_map.select(F.col("uuid").alias("uuid2"), F.col("_a").alias("_a2")),
             on="uuid2",
@@ -495,10 +533,23 @@ def invalidate_contradictions(
         .groupBy("uuid")
         .agg(F.min("valid2").alias("_later_min"))
     )
+    return self_min.join(later_min, on="uuid", how="full")
 
+
+def apply_invalidation(
+    edges: DataFrame,
+    inv_map: DataFrame,
+    now_ts,
+    broadcast_map: bool = False,
+) -> DataFrame:
+    """Fold an `invalidation_map` back into the edge table: one left join
+    (broadcast when the caller knows the map is small — the full-width
+    edge table then never crosses an exchange) + the invalid_at/expired_at
+    column algebra. Stays LAZY: callers chain the near-dup merge and the
+    final write on top without materializing the intermediate."""
+    m = F.broadcast(inv_map) if broadcast_map else inv_map
     out = (
-        edges.join(self_min, on="uuid", how="left")
-        .join(later_min, on="uuid", how="left")
+        edges.join(m, on="uuid", how="left")
         .withColumn(
             "invalid_at",
             F.least(F.coalesce("invalid_at", "_self_min"), F.col("_later_min")),
@@ -511,9 +562,24 @@ def invalidate_contradictions(
             ),
         )
     )
-    if has_arr:
+    if "arr_episode" in edges.columns:
         out = out.drop("arr_episode", "arr_idx")
     return out
+
+
+def invalidate_contradictions(
+    edges: DataFrame,
+    now_ts,
+    num_salts: int = 8,
+    hot_threshold: int = 10_000,
+    known_edge_count: int | None = None,
+) -> DataFrame:
+    """T6/T7 temporal invalidation — see `invalidation_map` for the full
+    algebra and `apply_invalidation` for the fold-back. This wrapper keeps
+    the original one-call contract (used by the small-batch pipeline path,
+    add_triplets, and the oracle-parity tests)."""
+    inv = invalidation_map(edges, num_salts, hot_threshold, known_edge_count)
+    return apply_invalidation(edges, inv, now_ts)
 
 
 RELATED_EDGE_LIMIT = 10  # ref search/search_config.py DEFAULT_SEARCH_LIMIT

@@ -31,9 +31,12 @@ from graphiti_spark.functions.udfs import (
 )
 from graphiti_spark.lineage import StageRunner
 from graphiti_spark.operators.edge_ops import (
+    INV_MAP_BROADCAST_MAX,
     apply_edge_merge,
+    apply_invalidation,
     dedup_edges,
     invalidate_contradictions,
+    invalidation_map,
     merge_near_duplicate_edges,
     near_dup_canonical_map,
     rewrite_pointers,
@@ -208,32 +211,64 @@ def run_pipeline(
         deduped, now, known_edge_count=runner.rows.get("edges_dedup")
     )
 
-    def _timed_canon():
-        import time as _time
-
-        t0 = _time.time()
-        canon, n_pairs = near_dup_canonical_map(
+    # the canonical map is a real runner stage (resumable in durable mode);
+    # apply_edge_merge's broadcast-vs-shuffle gate uses its materialized row
+    # count — the map size is exactly what the gate is about
+    def _build_canon():
+        canon, _ = near_dup_canonical_map(
             deduped, known_edge_count=runner.rows.get("edges_dedup")
         )
-        runner.metrics.append(
-            {"stage": "edges_canon_map", "sec": round(_time.time() - t0, 3), "rows": n_pairs}
-        )
-        return canon, n_pairs
+        return canon
 
     if runner.rows.get("edges_dedup", 0) < 1_000_000:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_inv = pool.submit(runner.run, "edges_invalidate", in_fp, build_inv)
-            f_canon = pool.submit(_timed_canon)
+            f_canon = pool.submit(runner.run, "edges_canon_map", in_fp, _build_canon)
             invalidated = f_inv.result()
-            canon, n_pairs = f_canon.result()
-    else:
+            canon = f_canon.result()
+        edges = runner.run(
+            "edges",
+            in_fp,
+            lambda: apply_edge_merge(invalidated, canon, runner.rows["edges_canon_map"]),
+        )
+    elif runner.dir is not None:
+        # durable mode keeps every stage as a resumable parquet checkpoint
         invalidated = runner.run("edges_invalidate", in_fp, build_inv)
-        canon, n_pairs = _timed_canon()
-    edges = runner.run(
-        "edges", in_fp, lambda: apply_edge_merge(invalidated, canon, n_pairs)
-    )
+        canon = runner.run("edges_canon_map", in_fp, _build_canon)
+        edges = runner.run(
+            "edges",
+            in_fp,
+            lambda: apply_edge_merge(invalidated, canon, runner.rows["edges_canon_map"]),
+        )
+    else:
+        # large in-memory path: only the SMALL invalidation map materializes;
+        # the full-width edge table is never cached again after edges_dedup —
+        # invalidation folds in via a broadcast join and the near-dup merge
+        # chains on top lazily, so the final write is the first (and only)
+        # full materialization of the output. Re-caching the 128-float
+        # embedding column is memory-bandwidth-bound — the one resource a
+        # bigger cluster does scale that a wider single box does not — so
+        # skipping two full-width cache passes here is what keeps N-vs-4N
+        # efficiency at the north-rule bar.
+        import time as _time
+
+        t0 = _time.time()
+        inv_map = invalidation_map(
+            deduped, known_edge_count=runner.rows.get("edges_dedup")
+        ).persist()
+        runner.persisted.append(inv_map)
+        n_inv = inv_map.count()
+        runner.metrics.append(
+            {"stage": "edges_invalidate", "sec": round(_time.time() - t0, 3), "rows": n_inv}
+        )
+        canon = runner.run("edges_canon_map", in_fp, _build_canon)
+        invalidated = apply_invalidation(
+            deduped, inv_map, now, broadcast_map=n_inv <= INV_MAP_BROADCAST_MAX
+        )
+        edges = apply_edge_merge(invalidated, canon, runner.rows["edges_canon_map"])
+        runner.metrics.append({"stage": "edges", "sec": 0.0, "rows": None, "lazy": True})
 
     if with_embeddings:
         # edges already carry fact_embedding from the edges_dedup stage
