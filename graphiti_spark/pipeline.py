@@ -192,9 +192,28 @@ def run_pipeline(
             deduped = f_deduped.result()
             mentions = f_mentions.result()
     else:
-        nodes = runner.run("nodes_canonical", in_fp, build_nodes)
         deduped = runner.run("edges_dedup", in_fp, _build_deduped)
-        mentions = runner.run("mentions", in_fp, build_ments)
+        if runner.dir is None and registry is None:
+            # large in-memory path: nodes and mentions are consumed exactly
+            # once (by the caller's table write) and nothing downstream
+            # reads them, so their eager persist+count here would be two
+            # pure-overhead barriers. Left lazy, their computation runs
+            # INSIDE the caller's concurrent nodes/edges/mentions write —
+            # overlapping with the edge-assembly write on cores the single
+            # write jobs can't fill. (With a `registry` nodes feeds two
+            # consumers — edge-type enforcement and attribute fill — so it
+            # must stay materialized; durable mode checkpoints every stage.)
+            nodes = build_nodes()
+            mentions = build_ments()
+            runner.metrics.append(
+                {"stage": "nodes_canonical", "sec": 0.0, "rows": None, "lazy": True}
+            )
+            runner.metrics.append(
+                {"stage": "mentions", "sec": 0.0, "rows": None, "lazy": True}
+            )
+        else:
+            nodes = runner.run("nodes_canonical", in_fp, build_nodes)
+            mentions = runner.run("mentions", in_fp, build_ments)
 
     # Invalidation BEFORE near-dup merge, matching the oracle (oracle.py:169
     # invalidates at arrival over the full pre-merge edge set, then merges):
@@ -251,19 +270,31 @@ def run_pipeline(
         # embedding column is memory-bandwidth-bound — the one resource a
         # bigger cluster does scale that a wider single box does not — so
         # skipping two full-width cache passes here is what keeps N-vs-4N
-        # efficiency at the north-rule bar.
+        # efficiency at the north-rule bar. The invalidation map and the
+        # near-dup canonical map both derive from the cached dedup output
+        # and touch disjoint columns, so they run CONCURRENTLY (as the small
+        # path already does) — each alone is a chain of shuffle jobs with
+        # scheduling barriers that leave cores idle.
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
 
-        t0 = _time.time()
-        inv_map = invalidation_map(
-            deduped, known_edge_count=runner.rows.get("edges_dedup")
-        ).persist()
-        runner.persisted.append(inv_map)
-        n_inv = inv_map.count()
-        runner.metrics.append(
-            {"stage": "edges_invalidate", "sec": round(_time.time() - t0, 3), "rows": n_inv}
-        )
-        canon = runner.run("edges_canon_map", in_fp, _build_canon)
+        def _timed_inv():
+            t0 = _time.time()
+            m = invalidation_map(
+                deduped, known_edge_count=runner.rows.get("edges_dedup")
+            ).persist()
+            runner.persisted.append(m)
+            n = m.count()
+            runner.metrics.append(
+                {"stage": "edges_invalidate", "sec": round(_time.time() - t0, 3), "rows": n}
+            )
+            return m, n
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_inv = pool.submit(_timed_inv)
+            f_canon = pool.submit(runner.run, "edges_canon_map", in_fp, _build_canon)
+            inv_map, n_inv = f_inv.result()
+            canon = f_canon.result()
         invalidated = apply_invalidation(
             deduped, inv_map, now, broadcast_map=n_inv <= INV_MAP_BROADCAST_MAX
         )
