@@ -136,11 +136,15 @@ def near_duplicate_edge_pairs(
     # embed-on-demand path below — the cosine-only caller with embeddings
     # present (the pipeline's canonical map) never moves the string at all
     need_fact = with_tokens or not has_vec
+    # the directed endpoint-pair block key (group_id, source, target) is
+    # ~90 B of uuid-hex strings; every downstream exchange keys on it, so it
+    # travels as one xxhash64 instead. A 2^-64 block-key collision merges
+    # two endpoint blocks — extra CANDIDATES whose cosine/token judgment
+    # still decides, the same accepted-risk class as dedup_edges' fact_key.
+    bk = F.xxhash64("group_id", "source_node_uuid", "target_node_uuid").alias("bk")
     base = edges.select(
         "uuid",
-        "group_id",
-        F.col("source_node_uuid").alias("p1"),
-        F.col("target_node_uuid").alias("p2"),
+        bk,
         *(["fact"] if need_fact else []),
         *(["fact_embedding"] if has_vec else []),
     )
@@ -152,15 +156,11 @@ def near_duplicate_edge_pairs(
     # page corpus). The block list is tiny relative to the edge table, so
     # AQE turns this into a broadcast join (64 MB session threshold) and
     # the edge side is never shuffled.
-    sizes = edges.groupBy(
-        F.col("group_id"),
-        F.col("source_node_uuid").alias("p1"),
-        F.col("target_node_uuid").alias("p2"),
-    ).count()
+    sizes = edges.groupBy(bk).count()
     multi_blocks = sizes.filter(F.col("count") >= 2)
     if endpoint_pair_cap is not None:
         multi_blocks = multi_blocks.filter(F.col("count") <= endpoint_pair_cap)
-    base = base.join(multi_blocks.drop("count"), on=["group_id", "p1", "p2"])
+    base = base.join(multi_blocks.drop("count"), on="bk")
     if has_vec:
         # quantize AFTER the block restriction: the 128-element transform is
         # interpreted (higher-order functions skip codegen), so running it
@@ -198,16 +198,16 @@ def near_duplicate_edge_pairs(
     # join then evaluates a single integer dot per candidate instead of 3
     base = base.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")).cast("double")))
     a = base.select(
-        "group_id", "p1", "p2",
+        "bk",
         F.col("uuid").alias("a_uuid"), F.col("toks").alias("a_toks"),
         F.col("qv").alias("a_qv"), F.col("qn").alias("a_qn"),
     )
     b = base.select(
-        "group_id", "p1", "p2",
+        "bk",
         F.col("uuid").alias("b_uuid"), F.col("toks").alias("b_toks"),
         F.col("qv").alias("b_qv"), F.col("qn").alias("b_qn"),
     )
-    pairs = a.join(b, on=["group_id", "p1", "p2"]).filter(F.col("a_uuid") < F.col("b_uuid"))
+    pairs = a.join(b, on="bk").filter(F.col("a_uuid") < F.col("b_uuid"))
     overlap = F.arrays_overlap("a_toks", "b_toks")
     # zero-norm guard: 0/0 would be NaN, and Spark SQL sorts NaN above every
     # number so `cos >= threshold` would be TRUE — the oracle twin
@@ -449,9 +449,19 @@ def invalidation_map(
     """
     from graphiti_spark.operators.skew import salted_join
 
-    keys = ["group_id", "source_node_uuid", "name"]
     has_arr = "arr_episode" in edges.columns and "arr_idx" in edges.columns
     small = known_edge_count is not None and known_edge_count <= SALT_FAST_PATH_MAX
+
+    # The contradiction domain (group_id, source, predicate) is ~90 B of
+    # mostly uuid-hex strings and keys the window AND the self-join, so it
+    # travels as one xxhash64; the target uuid is only ever compared for
+    # inequality, so it travels hashed too. A 2^-64 key collision could
+    # alias two domains (a false contradiction pair) or two targets (a
+    # missed one) — the same accepted-risk class as dedup_edges' fact_key;
+    # within a true domain, row_number ranks keep their relative order even
+    # if a collision interleaves two domains in one window partition.
+    kh_expr = F.xxhash64("group_id", "source_node_uuid", "name")
+    kh = kh_expr.alias("kh")
 
     # arrival ORDER is all the algebra needs, and comparisons only ever
     # happen between edges sharing the join key — so a per-key row_number
@@ -467,31 +477,31 @@ def invalidation_map(
         else [F.col("valid_at"), F.col("uuid")]
     )
     base = edges.select(
-        "uuid", *keys, "target_node_uuid", "valid_at",
+        "uuid", kh, F.xxhash64("target_node_uuid").alias("dh"), "valid_at",
         F.row_number()
-        .over(Window.partitionBy(*keys).orderBy(*order_cols))
+        .over(Window.partitionBy(kh_expr).orderBy(*order_cols))
         .alias("arr_rank"),
     )
     e2 = base.select(
-        *keys,
+        "kh",
         F.col("uuid").alias("uuid2"),
-        F.col("target_node_uuid").alias("dst2"),
+        F.col("dh").alias("dh2"),
         F.col("valid_at").alias("valid2"),
         F.col("arr_rank").alias("rank2"),
     )
     left = base
     if small:
-        joined = left.join(e2, on=keys, how="inner")
+        joined = left.join(e2, on="kh", how="inner")
     else:
         joined = salted_join(
-            left, e2, on=keys, salt_col="uuid",
+            left, e2, on=["kh"], salt_col="uuid",
             num_salts=num_salts, hot_threshold=hot_threshold,
             known_left_count=known_edge_count,
             probe_sample=0.02,
-            probe_frame=edges.select(*keys),
+            probe_frame=edges.select(kh),
         )
     pairs = joined.filter(
-        (F.col("target_node_uuid") != F.col("dst2"))
+        (F.col("dh") != F.col("dh2"))
         & F.col("valid2").isNotNull()
         & F.col("valid_at").isNotNull()
         & (F.col("valid2") > F.col("valid_at"))

@@ -194,15 +194,23 @@ def bm25_search(
 
 
 def quantize_col(col: Column) -> Column:
-    """array<float> -> array<bigint> at 1e-3 resolution. Integer dot products
-    are bit-exact across engines, which pins the oracle comparison; ranking
-    is unchanged at embedding scale. The explicit double cast keeps the
-    float->double promotion identical to the oracle's CAST(x AS DOUBLE)."""
-    return F.transform(col, lambda x: F.round(x.cast("double") * 1000).cast("long"))
+    """array<float> -> array<smallint> at 1e-3 resolution. Integer dot
+    products are bit-exact across engines, which pins the oracle comparison;
+    ranking is unchanged at embedding scale. The explicit double cast keeps
+    the float->double promotion identical to the oracle's CAST(x AS DOUBLE).
+
+    smallint storage (safe for |x| <= 32.767; every embedder here is
+    L2-normalized so |x| <= 1) quarters the payload of the self-joins that
+    ship quantized vectors — the near-dup candidate join moves ~256 B/vector
+    instead of ~1 KB, which is the difference between a bandwidth-bound and
+    a CPU-bound shuffle at high core counts. All arithmetic happens in
+    BIGINT (`_dot` upcasts per element), so values are unchanged."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000).cast("smallint"))
 
 
 def _dot(a, b) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+    # upcast per element: smallint*smallint would overflow in its own type
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("long") * y), F.lit(0).cast("long"),
                        lambda acc, v: acc + v)
 
 
