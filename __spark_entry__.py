@@ -364,6 +364,12 @@ def _dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataops.token_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.85)
 
 
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dataops.minhash_neardup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
     # est_jac = n_agree / 64 exactly; the integer projection keeps the
@@ -563,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_graph": _connected_components_graph,
         "dedup_exact": _dedup_exact,
         "dedup_token_jaccard": _dedup_token_jaccard,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -788,6 +795,28 @@ _ORACLES: dict[str, str] = {
              AND len(b.toks) * 10000 >= len(a.toks) * 8500
         WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.85
+    """,
+    # word-trigram shingle sets, same shingle convention as the minhash
+    # oracle (docs shorter than 3 words contribute one whole-text shingle);
+    # Spark intersects xxhash64 shingle hashes, the oracle intersects the
+    # strings — set sizes agree modulo ~|shingles|^2/2^64 collisions
+    "dedup_ngram_jaccard": f"""
+        WITH tok AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents),
+        shg AS (SELECT doc_id, lang, list_distinct(CASE
+                  WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, len(w) - 1),
+                                      i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                END) AS sh
+                FROM tok WHERE len(w) >= 1)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(round(10000 * (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE))) AS BIGINT)
+                   AS jac_x10000
+        FROM shg a JOIN shg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND len(a.sh) * 10000 >= len(b.sh) * 8000
+             AND len(b.sh) * 10000 >= len(a.sh) * 8000
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),

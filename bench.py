@@ -33,6 +33,7 @@ HEADLINE = [
     "connected_components_graph",
     "dedup_exact",
     "dedup_token_jaccard",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -90,8 +90,6 @@ def token_jaccard_pairs(
     independent equi-join cells. Zero-token docs are dropped outright:
     their Jaccard is NULL in both engines and never passes the filter.
     """
-    import math
-
     t = docs.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
@@ -99,6 +97,48 @@ def token_jaccard_pairs(
             "toks_s"
         ),
     )
+    return _hashed_set_jaccard_pairs(t, threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+) -> DataFrame:
+    """Same-block pairs (a < b) with word n-gram (shingle) set Jaccard >=
+    threshold — the order-sensitive exact near-dup judgment (token-set
+    Jaccard ignores word order; n-grams don't). Shingle convention matches
+    doc_minhash_features / the reference dedup kernel: a document shorter
+    than n words contributes its whole text as one shingle; shingles are
+    distinct. Output: a_id, b_id, jac_x10000. Same lossless
+    (block x geometric-size-bucket) candidate machinery as
+    token_jaccard_pairs."""
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    t0 = docs.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), w.alias("w")
+    ).filter(F.size("w") >= 1)
+    sh = F.when(
+        F.size("w") < n, F.array(F.concat_ws(" ", F.col("w")))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, n)),
+        )
+    )
+    t = t0.select("id", "blk", F.array_distinct(sh).alias("toks_s"))
+    return _hashed_set_jaccard_pairs(t, threshold)
+
+
+def _hashed_set_jaccard_pairs(t: DataFrame, threshold: float) -> DataFrame:
+    """Shared body of token_jaccard_pairs / ngram_jaccard_pairs: input
+    t(id, blk, toks_s array<string> DISTINCT elements); emits same-block
+    (a < b, jac >= threshold) pairs via the lossless size-bucket blocking
+    documented on token_jaccard_pairs."""
+    import math
+
     # intersect 64-bit token hashes, not strings: set sizes are identical
     # (collision odds ~|vocab|^2/2^64) and per-pair hashing is ~10x cheaper
     t = t.select(

@@ -44,6 +44,30 @@ def test_token_jaccard_pairs(spark):
     assert not any(a == 3 or b == 3 for a, b in got)
 
 
+def test_ngram_jaccard_pairs(spark):
+    # trigram shingles of doc0/doc1: identical -> 1.0; doc0 vs doc2 differ
+    # in word 9 of 10, which appears in 2 of the 8 trigram windows:
+    # J = 6 / (8 + 8 - 6) = 0.6
+    got = {(r["a_id"], r["b_id"]): r["jac_x10000"] for r in
+           D.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.4).collect()}
+    assert got[(0, 1)] == 10000
+    assert got[(0, 2)] == 6000
+    assert not any(a == 3 or b == 3 for a, b in got)
+    # word-order sensitivity: same token SET, different order -> the token
+    # path calls them duplicates, the n-gram path does not
+    shuffled = [(10, "alpha beta gamma delta epsilon", "en"),
+                (11, "epsilon delta gamma beta alpha", "en")]
+    sdf = spark.createDataFrame(shuffled, schema="doc_id long, text string, lang string")
+    assert D.token_jaccard_pairs(sdf, threshold=0.9).count() == 1
+    assert D.ngram_jaccard_pairs(sdf, n=3, threshold=0.3).count() == 0
+    # short-doc convention: below n words the whole text is one shingle
+    short = [(20, "tiny doc", "en"), (21, "tiny doc", "en"), (22, "tiny dog", "en")]
+    sdf2 = spark.createDataFrame(short, schema="doc_id long, text string, lang string")
+    got2 = {(r["a_id"], r["b_id"]) for r in
+            D.ngram_jaccard_pairs(sdf2, n=3, threshold=0.99).collect()}
+    assert got2 == {(20, 21)}
+
+
 def test_minhash_detects_duplicates(spark):
     got = {(r["a_id"], r["b_id"]): r["est_jac"] for r in
            D.minhash_neardup_pairs(_docs(spark), threshold=0.5).collect()}
