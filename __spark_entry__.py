@@ -366,7 +366,7 @@ def _dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataops.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.85
     )
 
 
@@ -813,10 +813,10 @@ _ORACLES: dict[str, str] = {
                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE))) AS BIGINT)
                    AS jac_x10000
         FROM shg a JOIN shg b ON a.lang = b.lang AND a.doc_id < b.doc_id
-             AND len(a.sh) * 10000 >= len(b.sh) * 8000
-             AND len(b.sh) * 10000 >= len(a.sh) * 8000
+             AND len(a.sh) * 10000 >= len(b.sh) * 8500
+             AND len(b.sh) * 10000 >= len(a.sh) * 8500
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.85
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
