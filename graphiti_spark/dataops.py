@@ -45,6 +45,26 @@ from graphiti_spark.search import _dot, cosine_topk, quantize_col
 # ---------------------------------------------------------------------------
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Spread a tiny scan before compute-heavy per-row work.
+
+    A small parquet table arrives as ONE split (a single row group cannot
+    be subdivided), which would serialize the expensive per-row stage that
+    follows — interpreted shingle expressions, hashing pandas UDFs — on a
+    single core. Round-robin repartition moves only the raw input bytes,
+    BEFORE any derived expression exists. At cluster scale the scan
+    already arrives in >= defaultParallelism splits and this is a no-op,
+    so the full corpus is never shuffled."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        # the lazy localCheckpoint cuts the plan at the exchange: without
+        # it the optimizer pushes filters (whose conditions re-evaluate the
+        # expensive derived expressions) below the repartition, back onto
+        # the single scan partition
+        return df.repartition(par).localCheckpoint(eager=False)
+    return df
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per distinct text: fingerprint, keeper (min id), copy count."""
     return (
@@ -79,18 +99,13 @@ def token_jaccard_pairs(
 
     Output: a_id, b_id, jac_x10000 (bigint — integer-derived, engine-exact).
 
-    The self-join key is (block, length bucket), not just the block: J >= t
-    forces the token-set sizes within a factor 1/t, so qualifying pairs land
-    in nearby geometric size buckets — bucket = floor(S*log2(n)) with S
-    chosen so the in-ratio log-gap is < 1 bucket, and the smaller side
-    probes buckets bk-r..bk+r. This is LOSSLESS blocking (provably no
-    qualifying pair is dropped — the exact integer size-ratio filter below
-    is what defines "qualifying"), so the DuckDB oracle needs no mirror of
-    it; it turns the per-block near-cartesian join into ~#buckets
-    independent equi-join cells. Zero-token docs are dropped outright:
-    their Jaccard is NULL in both engines and never passes the filter.
+    Candidates come from LOSSLESS prefix filtering (see
+    _hashed_set_jaccard_pairs): the self-join key is (block, rare prefix
+    token), so candidate volume is output-sensitive instead of quadratic
+    inside a dup-dense block. Zero-token docs are dropped outright: their
+    Jaccard is NULL in both engines and never passes the filter.
     """
-    t = docs.select(
+    t = _spread_small_input(docs).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.array_distinct(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")).alias(
@@ -114,10 +129,10 @@ def ngram_jaccard_pairs(
     doc_minhash_features / the reference dedup kernel: a document shorter
     than n words contributes its whole text as one shingle; shingles are
     distinct. Output: a_id, b_id, jac_x10000. Same lossless
-    (block x geometric-size-bucket) candidate machinery as
+    lossless prefix-filtering candidate machinery as
     token_jaccard_pairs."""
     w = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    t0 = docs.select(
+    t0 = _spread_small_input(docs).select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), w.alias("w")
     ).filter(F.size("w") >= 1)
     sh = F.when(
@@ -135,10 +150,22 @@ def ngram_jaccard_pairs(
 def _hashed_set_jaccard_pairs(t: DataFrame, threshold: float) -> DataFrame:
     """Shared body of token_jaccard_pairs / ngram_jaccard_pairs: input
     t(id, blk, toks_s array<string> DISTINCT elements); emits same-block
-    (a < b, jac >= threshold) pairs via the lossless size-bucket blocking
-    documented on token_jaccard_pairs."""
-    import math
+    (a < b, jac >= threshold) pairs.
 
+    Candidate generation is LOSSLESS prefix filtering (the AllPairs/PPJoin
+    principle): under one global token order, any pair with J >= t — which
+    forces overlap >= ceil(t * max(|A|,|B|)) — must share a token inside
+    each side's first |X| - ceil(t*|X|) + 1 tokens. The global order is
+    (per-block document frequency ASC, hash), so every prefix holds its
+    document's RAREST tokens: prefix posting lists stay short by
+    construction and the candidate self-join never builds a hot-token
+    quadratic cell — the frequent tokens that would create one are sorted
+    out of every prefix. Compared to size-bucket blocking this moves the
+    join key from (block, size bucket) — near-quadratic inside a dup-dense
+    block — to (block, rare token), which is output-sensitive. The exact
+    integer size-ratio filter plus the exact Jaccard verification define
+    the output, so the DuckDB oracle needs no mirror of any of this."""
+    thr = int(round(threshold * 10000))
     # intersect 64-bit token hashes, not strings: set sizes are identical
     # (collision odds ~|vocab|^2/2^64) and per-pair hashing is ~10x cheaper
     t = t.select(
@@ -147,36 +174,62 @@ def _hashed_set_jaccard_pairs(t: DataFrame, threshold: float) -> DataFrame:
         F.transform("toks_s", lambda x: F.xxhash64(x)).alias("toks"),
         F.size("toks_s").cast("long").alias("n"),
     ).filter(F.col("n") >= 1)
-    # bucket scale: S log2-units per bucket; in-ratio pairs differ by
-    # D = S*log2(1/t) bucket units, so probing +-r with r = floor(D)+1
-    # covers every floor-boundary case exactly
-    scale = 4.0
-    reach = int(math.floor(scale * math.log2(1.0 / threshold))) + 1
-    t = t.withColumn("bk", F.floor(F.lit(scale) * F.log2(F.col("n"))).cast("long"))
-    # candidate generation moves ONLY scalars (block, bucket, id, size) —
-    # the ~100x-wider token arrays are re-attached by id AFTER the ratio
-    # filter, so the candidate shuffle is bytes-per-row cheap
-    slim = t.select("blk", "bk", "id", "n")
-    a = slim.select(
+    # tokenization (the expensive interpreted shingle expressions) runs
+    # exactly ONCE: document frequency comes from a window over the
+    # token-level frame (one shuffle, no self-join), the per-doc rare-first
+    # sort + prefix slice happen in the groupBy that follows, and the
+    # resulting doc frame — which carries BOTH the prefix and the full
+    # sorted hash array for verification — is lazily localCheckpointed so
+    # its four downstream consumers (a/b candidate sides, a/b verify
+    # re-attach) scan the materialized copy instead of re-tokenizing.
+    # localCheckpoint (not persist) so the blocks are GC-released with the
+    # returned DataFrame.
+    tok = t.select("id", "blk", "n", F.explode("toks").alias("h"))
+    tok = tok.withColumn("df", F.count("*").over(Window.partitionBy("blk", "h")))
+    # prefix length p = n - ceil(t*n) + 1, integer-exact:
+    # ceil(n*thr/10000) = floor((n*thr + 9999)/10000)
+    p = (F.col("n") - F.floor((F.col("n") * thr + F.lit(9999)) / 10000) + 1).cast("int")
+    d = (
+        tok.groupBy("id", "blk", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("st"))
+        .select(
+            "id",
+            "blk",
+            "n",
+            F.transform("st", lambda s: s["h"]).alias("toks"),
+            F.slice(F.transform("st", lambda s: s["h"]), F.lit(1), p).alias("prefix"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = d.select(
         "blk",
         F.col("id").alias("a_id"),
         F.col("n").alias("a_n"),
-        F.explode(F.sequence(F.col("bk") - reach, F.col("bk") + reach)).alias("bk"),
+        F.explode("prefix").alias("h"),
     )
-    b = slim.select("blk", "bk", F.col("id").alias("b_id"), F.col("n").alias("b_n"))
+    b = d.select(
+        "blk",
+        F.col("id").alias("b_id"),
+        F.col("n").alias("b_n"),
+        F.explode("prefix").alias("h"),
+    )
     # exact size-ratio prefilter: J(A,B) <= min/max sizes, so J >= t requires
     # |A|*10000 >= |B|*t*10000 both ways — integer arithmetic so the oracle
-    # SQL applies the identical cut
-    thr = int(round(threshold * 10000))
+    # SQL applies the identical cut. (It also discharges the |B| >= t*|A|
+    # premise the per-side prefix length relies on.) A pair sharing several
+    # prefix tokens appears once: dropDuplicates runs on the SCALAR pair
+    # rows, before the wide token arrays are re-attached.
     pairs = (
-        a.join(b, on=["blk", "bk"])
+        a.join(b, on=["blk", "h"])
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
             (F.col("a_n") * 10000 >= F.col("b_n") * thr)
             & (F.col("b_n") * 10000 >= F.col("a_n") * thr)
         )
+        .select("a_id", "b_id", "a_n", "b_n")
+        .dropDuplicates(["a_id", "b_id"])
     )
-    toks = t.select("id", "toks")
+    toks = d.select("id", "toks")
     pairs = pairs.join(
         toks.select(F.col("id").alias("a_id"), F.col("toks").alias("a_toks")), on="a_id"
     ).join(toks.select(F.col("id").alias("b_id"), F.col("toks").alias("b_toks")), on="b_id")
@@ -290,9 +343,15 @@ def minhash_neardup_pairs(
     quadratic-risk stage; buckets above LSH_DOC_BUCKET_CAP are dropped
     (same deliberate approximation as node dedup).
     """
-    feat = docs.select(
-        F.col(id_col).alias("id"), doc_minhash_udf(F.col(text_col)).alias("f")
-    ).select("id", F.col("f.band_keys").alias("band_keys"), F.col("f.sig").alias("sig"))
+    # the hashing pandas UDF is the expensive stage and the feature frame
+    # has four downstream consumers (bucket sizes, bucket join, a/b pair
+    # sides) — spread the scan, hash once, let GC release the blocks
+    feat = (
+        _spread_small_input(docs)
+        .select(F.col(id_col).alias("id"), doc_minhash_udf(F.col(text_col)).alias("f"))
+        .select("id", F.col("f.band_keys").alias("band_keys"), F.col("f.sig").alias("sig"))
+        .localCheckpoint(eager=False)
+    )
     banded = feat.select(
         "id", "sig", F.posexplode("band_keys").alias("band_pos", "band_key")
     )
@@ -373,7 +432,13 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Banded simhash join: candidates share >= 1 of 4 16-bit bands; verify
     with popcount(xor) <= max_hamming. Output: a_id, b_id, hamming."""
-    sh = docs.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh"))
+    # same shape as minhash: spread the single-split scan, hash once for
+    # the frame's multiple consumers, GC releases the checkpoint blocks
+    sh = (
+        _spread_small_input(docs)
+        .select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     bands = sh.select(
         "id",
         "sh",
@@ -653,8 +718,6 @@ def ivf_topk(
     recall oracle (tests/test_dedup_recall.py pins recall and pruning)."""
     import numpy as np
 
-    first = embs.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"])
     # deterministic bounded training sample: xxhash64 orders rows by a
     # seed-stable pseudo-random key without a full sort-shuffle (TABLESAMPLE
     # needs a fraction, which needs a count — this is one pass + limit)

@@ -239,20 +239,7 @@ def run_pipeline(
         )
         return canon
 
-    if runner.rows.get("edges_dedup", 0) < 1_000_000:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_inv = pool.submit(runner.run, "edges_invalidate", in_fp, build_inv)
-            f_canon = pool.submit(runner.run, "edges_canon_map", in_fp, _build_canon)
-            invalidated = f_inv.result()
-            canon = f_canon.result()
-        edges = runner.run(
-            "edges",
-            in_fp,
-            lambda: apply_edge_merge(invalidated, canon, runner.rows["edges_canon_map"]),
-        )
-    elif runner.dir is not None:
+    if runner.dir is not None:
         # durable mode keeps every stage as a resumable parquet checkpoint
         invalidated = runner.run("edges_invalidate", in_fp, build_inv)
         canon = runner.run("edges_canon_map", in_fp, _build_canon)
@@ -262,18 +249,18 @@ def run_pipeline(
             lambda: apply_edge_merge(invalidated, canon, runner.rows["edges_canon_map"]),
         )
     else:
-        # large in-memory path: only the SMALL invalidation map materializes;
-        # the full-width edge table is never cached again after edges_dedup —
-        # invalidation folds in via a broadcast join and the near-dup merge
-        # chains on top lazily, so the final write is the first (and only)
-        # full materialization of the output. Re-caching the 128-float
-        # embedding column is memory-bandwidth-bound — the one resource a
-        # bigger cluster does scale that a wider single box does not — so
-        # skipping two full-width cache passes here is what keeps N-vs-4N
-        # efficiency at the north-rule bar. The invalidation map and the
-        # near-dup canonical map both derive from the cached dedup output
-        # and touch disjoint columns, so they run CONCURRENTLY (as the small
-        # path already does) — each alone is a chain of shuffle jobs with
+        # in-memory path (any size): only the SMALL invalidation map
+        # materializes; the full-width edge table is never cached again
+        # after edges_dedup — invalidation folds in via a broadcast join
+        # and the near-dup merge chains on top lazily. Re-caching the
+        # 128-float embedding column is memory-bandwidth-bound — the one
+        # resource a bigger cluster does scale that a wider single box
+        # does not — so skipping two full-width cache passes here is what
+        # keeps N-vs-4N efficiency at the north-rule bar (and at small
+        # batch sizes it removes one whole persist+count barrier). The
+        # invalidation map and the near-dup canonical map both derive from
+        # the cached dedup output and touch disjoint columns, so they run
+        # CONCURRENTLY — each alone is a chain of shuffle jobs with
         # scheduling barriers that leave cores idle.
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
@@ -298,8 +285,18 @@ def run_pipeline(
         invalidated = apply_invalidation(
             deduped, inv_map, now, broadcast_map=n_inv <= INV_MAP_BROADCAST_MAX
         )
-        edges = apply_edge_merge(invalidated, canon, runner.rows["edges_canon_map"])
-        runner.metrics.append({"stage": "edges", "sec": 0.0, "rows": None, "lazy": True})
+        merged = apply_edge_merge(invalidated, canon, runner.rows["edges_canon_map"])
+        if runner.rows.get("edges_dedup", 0) < 1_000_000:
+            # small batches: the driver entries / P/R gate read the edge
+            # table several times, so one cheap materialization pays off
+            edges = runner.run("edges", in_fp, lambda: merged)
+        else:
+            # large batches: the caller's table write is the first (and
+            # only) full materialization of the output
+            edges = merged
+            runner.metrics.append(
+                {"stage": "edges", "sec": 0.0, "rows": None, "lazy": True}
+            )
 
     if with_embeddings:
         # edges already carry fact_embedding from the edges_dedup stage

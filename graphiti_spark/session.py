@@ -34,6 +34,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CollectLimit's default ramp-up starts at ONE partition, so a
+        # probe-limit over a compute-heavy DAG (e.g. the near-dup pair
+        # probe) runs its first wave serially; start wide — the probes in
+        # this engine sit on top of bounded candidate DAGs, so the extra
+        # partitions scanned are cheap and fully parallel
+        .config(
+            "spark.sql.limit.initialNumPartitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
