@@ -520,7 +520,9 @@ def _edge_hybrid_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     query shares fact terms with same-user and same-type candidates)."""
     from graphiti_spark.operators.edge_ops import per_episode_edge_candidates
 
-    ev = _t(spark, sf_dir, "events")
+    # the events table arrives as ONE parquet split at bench scale; spread
+    # it so tokenize/quantize map work is parallel (no-op on a real cluster)
+    ev = dataops._spread_small_input(_t(spark, sf_dir, "events"))
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def edge_shape(src_df: DataFrame, uuid_fmt: str) -> DataFrame:

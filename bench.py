@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_lsh_topk",
     "dedup_embedding_cosine",
     "lang_id",
     "quality_scores",

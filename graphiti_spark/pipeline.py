@@ -340,6 +340,8 @@ def run_pipeline(
         # after the outputs are materialized (written/collected). Without
         # it a long-lived session accumulates per-batch cache blocks
         # (streaming foreachBatch, notebooks).
+        # localCheckpointed frames release through the same unpersist call
+        # (their blocks are ordinary cache blocks pinned by the RDD)
         "release": lambda: [df.unpersist() for df in runner.persisted],
     }
 

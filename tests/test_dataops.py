@@ -196,3 +196,42 @@ def test_lsh_bucketed_ann(spark):
     got = {r["c_id"]: r["rnk"] for r in rows}
     # the near-duplicate must be found in the same bucket at rank 1
     assert got.get("1") == 1
+
+
+def test_prefix_filter_lossless_vs_bruteforce(spark):
+    """Prefix-filtered candidate generation must be LOSSLESS: for a seeded
+    corpus with near-dups planted at every size and threshold boundary,
+    the Spark output equals an exact all-pairs python oracle."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs, texts = [], {}
+    did = 0
+    for base_len in (1, 2, 3, 5, 8, 13, 21):
+        base = [rng.choice(vocab) for _ in range(base_len)]
+        for _ in range(3):
+            mutated = list(base)
+            if mutated and rng.random() < 0.7:
+                mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            if rng.random() < 0.4:
+                mutated.append(rng.choice(vocab))
+            docs.append((did, " ".join(mutated), "en"))
+            texts[did] = mutated
+            did += 1
+    df = spark.createDataFrame(docs, schema="doc_id long, text string, lang string")
+    for threshold in (0.5, 0.8, 0.9):
+        got = {
+            (r["a_id"], r["b_id"]): r["jac_x10000"]
+            for r in D.token_jaccard_pairs(df, threshold=threshold).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = set(texts[a]), set(texts[b])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                want[(a, b)] = round(j * 10000)
+        assert got == want, f"threshold={threshold}"
