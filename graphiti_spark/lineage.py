@@ -57,18 +57,15 @@ class StageRunner:
         """build: () -> DataFrame. Returns the (possibly reloaded) output."""
         t0 = time.time()
         if self.dir is None:
-            # in-memory mode: EAGER localCheckpoint, not persist+count.
-            # Downstream actions reference these frames twice (self-joins,
-            # subj/obj map joins), so they must be materialized before the
-            # branches race; localCheckpoint executes through AQE — a
-            # persist()'d plan compiles WITHOUT adaptive execution, pinning
-            # every internal shuffle to the static partition count even
-            # when the stage's data is tiny — and its blocks are released
-            # by release()/GC like a persist's.
-            if os.environ.get("GRAPHITI_STAGE_MAT") == "persist":
-                df = build().persist()
-            else:
-                df = build().localCheckpoint(eager=True)
+            # in-memory mode: persist + EAGER count. Downstream actions
+            # reference these frames twice (self-joins, subj/obj map joins);
+            # materializing lazily would let both branches race to populate
+            # the same cache blocks — duplicated upstream computation plus
+            # block-lock contention that grows with core count. (An eager
+            # localCheckpoint would execute through AQE — persist compiles
+            # without it — but its blocks escape release()/unpersist, which
+            # the streaming soak guarantee depends on.)
+            df = build().persist()
             self.persisted.append(df)
             n = df.count()
             self.rows[stage] = n

@@ -13,6 +13,7 @@ and MERGE-upserts into the store, so stream and batch share one code path
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from graphiti_spark.pipeline import run_pipeline
 from graphiti_spark.store import ParquetStore
@@ -68,6 +69,95 @@ def ingest_stream(
 
     writer = reader.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_location
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def episode_context_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_location: str,
+    schema=None,
+    last_n: int | None = None,
+    available_now: bool = True,
+):
+    """Stateful streaming form of the reference's last-N episode context
+    (EPISODE_WINDOW_LEN=3, ref graph_data_operations.py:31 + the per-episode
+    previous_episodes fan-out, bulk_utils.py:113-128): for every arriving
+    page/episode, emit the uuids of the `last_n` strictly-earlier episodes
+    of its group — across micro-batch boundaries.
+
+    This is the applyInPandasWithState pattern for operators whose state is
+    NOT expressible as a windowed aggregation: the state per group_id is the
+    rolling (valid_at, uuid) tail of size `last_n`, a few hundred bytes, so
+    state storage is O(groups), never O(episodes). Within a micro-batch the
+    batch's own episodes also precede later ones — rows are sorted by
+    (valid_at, uuid) inside the pandas group before the rolling pass, the
+    same arrival order previous_episodes_bulk uses, so draining N files in
+    one batch or in N batches yields byte-identical output (asserted in
+    tests/test_streaming.py).
+
+    Output rows: (uuid, group_id, valid_at, prev_uuids array<string>).
+    """
+    import pandas as pd
+
+    from graphiti_spark.pipeline import pages_to_episodes
+    from graphiti_spark.schemas import WEB_PAGES
+    from graphiti_spark.store import EPISODE_WINDOW_LEN
+
+    n = last_n or EPISODE_WINDOW_LEN
+    out_schema = (
+        "uuid string, group_id string, valid_at timestamp, prev_uuids array<string>"
+    )
+    state_schema = "ts array<long>, ids array<string>"
+
+    def _update(key, pdf_iter, state):
+        (group_id,) = key
+        if state.exists:
+            ts_list, id_list = state.get
+            tail = list(zip(list(ts_list), list(id_list)))
+        else:
+            tail = []
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["valid_at", "uuid"]).reset_index(drop=True)
+        out_prev = []
+        for _, r in rows.iterrows():
+            out_prev.append([u for _, u in tail[-n:]])
+            tail.append((int(r["valid_at"].value), r["uuid"]))
+            tail = tail[-n:]
+        state.update(([t for t, _ in tail], [u for _, u in tail]))
+        yield pd.DataFrame(
+            {
+                "uuid": rows["uuid"],
+                "group_id": group_id,
+                "valid_at": rows["valid_at"],
+                "prev_uuids": out_prev,
+            }
+        )
+
+    reader = spark.readStream.schema(schema or WEB_PAGES).parquet(input_path)
+    episodes = pages_to_episodes(reader).select(
+        F.col("episode_uuid").alias("uuid"),
+        "group_id",
+        F.col("ep_valid_at").alias("valid_at"),
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    result = episodes.groupBy("group_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        result.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

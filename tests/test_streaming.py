@@ -131,3 +131,59 @@ def test_streaming_soak_no_cache_growth(spark, tmp_path):
         assert n_persistent() <= baseline, (
             f"micro-batch {i} leaked {n_persistent() - baseline} cached RDDs"
         )
+
+
+def test_episode_context_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState last-N context: state carries across
+    micro-batches, and drain-in-1-batch == drain-in-2-batches =="""
+    from graphiti_spark.streaming import episode_context_stream
+
+    # the stream's context is arrival-ordered (exactly like the reference's
+    # sequential add_episode ingest); feed batches in valid_at order so the
+    # two-batch drain is comparable with the one-batch drain and the
+    # valid_at-ordered batch twin
+    rows = sorted(generate_web_pages(n_pages=40, seed=11), key=lambda r: r["warc_ts"])
+    half = len(rows) // 2
+
+    def run(tag, files):
+        in_dir = tmp_path / f"in_{tag}"
+        in_dir.mkdir()
+        out = str(tmp_path / f"out_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+        got = None
+        for i, chunk in enumerate(files):
+            _write_pages(str(in_dir / f"b{i}.parquet"), chunk)
+            q = episode_context_stream(spark, str(in_dir), out, ck)
+            q.awaitTermination(240)
+        return {
+            r["uuid"]: (r["group_id"], tuple(r["prev_uuids"]))
+            for r in spark.read.parquet(out).collect()
+        }
+
+    one = run("one", [rows])
+    two = run("two", [rows[:half], rows[half:]])
+    assert one == two
+    assert len(one) > 0
+    # batch-semantics twin: previous_episodes_bulk on the same episodes,
+    # truncated to the window length, most-recent-last
+    from graphiti_spark.pipeline import pages_to_episodes
+    from graphiti_spark.store import EPISODE_WINDOW_LEN, previous_episodes_bulk
+
+    eps = pages_to_episodes(
+        spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+            schema="url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+    ).select(
+        F.col("episode_uuid").alias("uuid"),
+        "group_id",
+        F.col("ep_valid_at").alias("valid_at"),
+    )
+    want = {
+        r["uuid"]: sorted(r["prev_uuids"])
+        for r in previous_episodes_bulk(eps, last_n=EPISODE_WINDOW_LEN).collect()
+    }
+    for uuid, (gid, prevs) in one.items():
+        # same SET of context uuids per episode (previous_episodes_bulk
+        # emits most-recent-first; the stream emits oldest-first)
+        assert sorted(prevs) == want[uuid], uuid
