@@ -447,6 +447,18 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataops.normalized_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataops.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+def _hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataops.hash_split(
+        _t(spark, sf_dir, "documents"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="s1",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q1/Q4/Q3/Q15 — search stack
 # ---------------------------------------------------------------------------
@@ -582,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _quality_scores,
         "token_stats": _token_stats,
         "doc_fingerprint": _doc_fingerprint,
+        "repetition_scores": _repetition_scores,
+        "hash_split": _hash_split,
         "bm25_term_scores": _bm25_term_scores,
         "rrf_fusion": _rrf_fusion,
         "edge_hybrid_candidates": _edge_hybrid_candidates,
@@ -878,6 +892,34 @@ _ORACLES: dict[str, str] = {
     "doc_fingerprint": """
         SELECT doc_id AS id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents
+    """,
+    # Gopher-style 2-gram repetition: integers only, so the two engines'
+    # results are hash-identical; docs under two tokens have no 2-grams
+    "repetition_scores": """
+        WITH w AS (SELECT doc_id,
+                          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+              FROM w WHERE len(w) >= 2),
+        c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
+        SELECT doc_id AS id,
+               CAST(sum(n) AS BIGINT) AS n_2grams,
+               CAST(max(n) AS BIGINT) AS top_2gram_n,
+               CAST(coalesce(sum(n) FILTER (n > 1), 0) AS BIGINT) AS dup_2gram_n
+        FROM c GROUP BY doc_id
+    """,
+    # deterministic split assignment: first 48 bits of md5(id || salt)
+    # mod 10000 basis points -> cumulative weight bands (0.9/0.05/0.05)
+    "hash_split": """
+        WITH b AS (SELECT doc_id AS id,
+                          CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 's1')), 1, 12)) AS BIGINT) % 10000 AS bucket
+                   FROM documents)
+        SELECT id, bucket,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
     """,
     "bm25_term_scores": f"""
         WITH toks AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents),

@@ -44,6 +44,8 @@ HEADLINE = [
     "quality_scores",
     "token_stats",
     "doc_fingerprint",
+    "repetition_scores",
+    "hash_split",
     "bm25_term_scores",
     "rrf_fusion",
     "graph_bfs",

@@ -796,6 +796,77 @@ def ivf_topk(
 EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "was", "for"]
 LANG_ID_THRESHOLD = 0.05
 
+SPLIT_BUCKETS = 10_000  # hash_split basis points; weights resolve to 1e-4
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment (the reproducible
+    subsampling every training-data pipeline needs): bucket = the first 48
+    bits of md5(id || salt) mod 10000, mapped to split names by cumulative
+    weight in basis points. Pure column expressions — stateless,
+    embarrassingly parallel, and the SAME row lands in the same split on
+    any cluster, any partitioning, any engine (DuckDB twin:
+    CAST(concat('0x', substr(md5(s),1,12)) AS BIGINT) % 10000).
+    Output: id, bucket, split."""
+    cum, bounds = 0.0, []
+    for name, wt in weights.items():
+        cum += wt
+        bounds.append((name, int(round(cum * SPLIT_BUCKETS))))
+    if bounds[-1][1] != SPLIT_BUCKETS:
+        raise ValueError(f"weights must sum to 1.0, got cumulative {cum}")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 12), 16, 10).cast("long"),
+        F.lit(SPLIT_BUCKETS),
+    )
+    expr = F.lit(bounds[-1][0])
+    for name, hi in reversed(bounds[:-1]):
+        expr = F.when(F.col("bucket") < hi, F.lit(name)).otherwise(expr)
+    # evaluate the (possibly long) when-chain against the named column; the
+    # chain is built high-to-low so the FIRST bound that covers the bucket
+    # wins, exactly matching a cumulative CASE in SQL
+    return docs.select(
+        F.col(id_col).alias("id"), bucket.alias("bucket")
+    ).withColumn("split", expr)
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features over word 2-grams (Rae et al. 2021
+    repetition filters, the C4/Gopher 'duplicate n-gram fraction' rule):
+    per document, total 2-gram occurrences, the count of the most frequent
+    2-gram, and the number of occurrences belonging to 2-grams seen more
+    than once. All integers — engine-exact against the DuckDB twin.
+    Documents with fewer than two tokens have no 2-grams and are omitted
+    (their repetition is undefined in both engines).
+    Output: id, n_2grams, top_2gram_n, dup_2gram_n."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    t = _spread_small_input(docs).select(F.col(id_col).alias("id"), toks.alias("w"))
+    grams = t.filter(F.size("w") >= 2).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("id", "gram").agg(F.count("*").alias("n"))
+    return per_gram.groupBy("id").agg(
+        F.sum("n").cast("long").alias("n_2grams"),
+        F.max("n").cast("long").alias("top_2gram_n"),
+        F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("dup_2gram_n"),
+    )
+
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-ratio language detector (en vs other). Output: id,

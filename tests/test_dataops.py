@@ -235,3 +235,39 @@ def test_prefix_filter_lossless_vs_bruteforce(spark):
             if j >= threshold:
                 want[(a, b)] = round(j * 10000)
         assert got == want, f"threshold={threshold}"
+
+
+def test_repetition_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a", "en"),     # 2-grams: ab, ba, ab, ba -> top 2, all dup
+            (1, "x y z", "en"),          # xy, yz -> no repetition
+            (2, "solo", "en"),           # < 2 tokens -> omitted
+        ],
+        schema="doc_id long, text string, lang string",
+    )
+    rows = {r["id"]: r for r in D.repetition_scores(df).collect()}
+    assert set(rows) == {0, 1}
+    assert (rows[0]["n_2grams"], rows[0]["top_2gram_n"], rows[0]["dup_2gram_n"]) == (4, 2, 4)
+    assert (rows[1]["n_2grams"], rows[1]["top_2gram_n"], rows[1]["dup_2gram_n"]) == (2, 1, 0)
+
+
+def test_hash_split(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "en") for i in range(200)],
+        schema="doc_id long, text string, lang string",
+    )
+    rows = {r["id"]: (r["bucket"], r["split"]) for r in
+            D.hash_split(df, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="s").collect()}
+    for i in range(200):
+        b = int(hashlib.md5(f"{i}s".encode()).hexdigest()[:12], 16) % 10000
+        want = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        assert rows[i] == (b, want), i
+    # weights must sum to 1
+    try:
+        D.hash_split(df, {"train": 0.5})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
