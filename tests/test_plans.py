@@ -82,3 +82,20 @@ def test_merge_pair_join_is_equijoin_no_cartesian(spark):
     plan = _plan(near_duplicate_edge_pairs(edges))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_prefix_filter_join_is_equijoin_no_cartesian(spark):
+    """The prefix-filtered set-similarity candidate join must stay a
+    (block, token-hash) equi-join — never a cartesian/BNL — and the
+    exchanged candidate rows must carry only scalars (the wide token
+    arrays are re-attached after dedup)."""
+    from graphiti_spark import dataops as D
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tail {i % 3}", "en") for i in range(50)],
+        schema="doc_id long, text string, lang string",
+    )
+    out = D.token_jaccard_pairs(docs, threshold=0.6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
