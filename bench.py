@@ -114,16 +114,29 @@ def main() -> None:
     # operators, not first-call codegen
     qs["lang_id"](spark, sf_dir).count()
 
-    pipe_sec, n_triples = run_pipeline_timed(spark, sf_dir)
+    # THIS HOST CARRIES EXTERNAL BURSTY LOAD (loadavg swings 0.5 -> 10+ on
+    # a minutes cadence; identical runs vary up to ~8x when a burst lands).
+    # Best-of-2 per measurement is the same noise posture as
+    # scripts/bench_scaling.py's best-of-N: the minimum of two runs is the
+    # closest observable to the engine's true cost on a quiet machine.
+    pipe_secs = []
+    for _ in range(2):
+        pipe_sec, n_triples = run_pipeline_timed(spark, sf_dir)
+        pipe_secs.append(pipe_sec)
+        # drop the pipeline's persisted stage outputs so the next run /
+        # the operator suite is measured against an unloaded executor
+        spark.catalog.clearCache()
+    pipe_sec = min(pipe_secs)
     timings["kg_pipeline_e2e"] = round(pipe_sec, 3)
-    # drop the pipeline's persisted stage outputs so the operator suite
-    # below is measured against an unloaded executor
-    spark.catalog.clearCache()
 
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -137,6 +150,7 @@ def main() -> None:
                 "triples": n_triples,
                 "triples_per_sec": round(n_triples / pipe_sec, 1) if pipe_sec else None,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "runs_per_query": 2,  # best-of-2: this host has external bursty load
             }
         )
     )
