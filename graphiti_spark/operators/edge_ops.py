@@ -509,10 +509,12 @@ def invalidation_map(
         "uuid", "uuid2", "valid_at", "valid2",
         (F.col("rank2") < F.col("arr_rank")).alias("earlier"),
     )
-    if not small:
-        # two aggregation phases read this; checkpoint so the salted join
-        # runs once (auto-released on GC, unlike an unpaired persist)
-        pairs = pairs.localCheckpoint(eager=True)
+    # two aggregation phases read this; checkpoint so the (salted) join
+    # runs once (auto-released on GC, unlike an unpaired persist). Paying
+    # one extra job barrier beats re-running the window + self-join chain
+    # for phase 2 at every size: the pair set is tiny relative to the edge
+    # table on both paths.
+    pairs = pairs.localCheckpoint(eager=True)
 
     # phase 1 — self-expiry: min later-valid among EARLIER-arrived
     # contradictions; applies only when no extracted invalid_at exists
