@@ -396,6 +396,7 @@ def invalidation_map(
     num_salts: int = 8,
     hot_threshold: int = 10_000,
     known_edge_count: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """T6/T7 interval algebra over contradicting-edge pairs — the exact
     set-based form of the reference's sequential per-arrival rules
@@ -509,12 +510,20 @@ def invalidation_map(
         "uuid", "uuid2", "valid_at", "valid2",
         (F.col("rank2") < F.col("arr_rank")).alias("earlier"),
     )
-    # two aggregation phases read this; checkpoint so the (salted) join
-    # runs once (auto-released on GC, unlike an unpaired persist). Paying
-    # one extra job barrier beats re-running the window + self-join chain
-    # for phase 2 at every size: the pair set is tiny relative to the edge
-    # table on both paths.
-    pairs = pairs.localCheckpoint(eager=True)
+    # two aggregation phases read this; materialize so the (salted) join
+    # runs once — paying one extra job barrier beats re-running the window
+    # + self-join chain for phase 2 at every size (the pair set is tiny
+    # relative to the edge table on both paths). With a cache_registry
+    # (the pipeline's per-run cache list) the pairs persist through the
+    # caller's release() — the form streaming's per-micro-batch soak
+    # guarantee needs; standalone callers get a localCheckpoint whose
+    # blocks the JVM releases on GC.
+    if cache_registry is not None:
+        pairs = pairs.persist()
+        cache_registry.append(pairs)
+        pairs.count()
+    else:
+        pairs = pairs.localCheckpoint(eager=True)
 
     # phase 1 — self-expiry: min later-valid among EARLIER-arrived
     # contradictions; applies only when no extracted invalid_at exists

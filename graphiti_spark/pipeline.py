@@ -268,7 +268,9 @@ def run_pipeline(
         def _timed_inv():
             t0 = _time.time()
             m = invalidation_map(
-                deduped, known_edge_count=runner.rows.get("edges_dedup")
+                deduped,
+                known_edge_count=runner.rows.get("edges_dedup"),
+                cache_registry=runner.persisted,
             ).persist()
             runner.persisted.append(m)
             n = m.count()
