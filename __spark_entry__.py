@@ -553,15 +553,20 @@ def _edge_hybrid_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("fact_embedding"),
         )
 
+    # broadcast the 2k-row embeddings side EXPLICITLY: the events side is a
+    # stats-less in-memory relation, so the planner would otherwise build
+    # the broadcast from 100k events and probe the single-split embeddings
+    # scan — serializing the quantize/tokenize work into one task
     existing = edge_shape(
-        ev.join(emb, F.pmod(F.col("event_id"), F.lit(500)) == F.col("vec_id")),
+        ev.join(F.broadcast(emb), F.pmod(F.col("event_id"), F.lit(500)) == F.col("vec_id")),
         "e%07d",
     )
     q_key = F.when(
         F.pmod(F.col("event_id"), F.lit(2)) == 0, F.pmod(F.col("event_id"), F.lit(500))
     ).otherwise(F.pmod(F.col("event_id") * 7 + 1, F.lit(500)))
     new = edge_shape(
-        ev.filter(F.col("event_id") < 30).join(emb, q_key == F.col("vec_id")), "q%07d"
+        ev.filter(F.col("event_id") < 30).join(F.broadcast(emb), q_key == F.col("vec_id")),
+        "q%07d",
     )
     out = per_episode_edge_candidates(new, existing, k=10)
     return out.select(
