@@ -451,6 +451,10 @@ def _repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataops.repetition_scores(_t(spark, sf_dir, "documents"))
 
 
+def _bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataops.bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
 def _hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataops.hash_split(
         _t(spark, sf_dir, "documents"),
@@ -600,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _token_stats,
         "doc_fingerprint": _doc_fingerprint,
         "repetition_scores": _repetition_scores,
+        "bpe_token_count": _bpe_token_count,
         "hash_split": _hash_split,
         "bm25_term_scores": _bm25_term_scores,
         "rrf_fusion": _rrf_fusion,
@@ -913,6 +918,14 @@ _ORACLES: dict[str, str] = {
                CAST(max(n) AS BIGINT) AS top_2gram_n,
                CAST(coalesce(sum(n) FILTER (n > 1), 0) AS BIGINT) AS dup_2gram_n
         FROM c GROUP BY doc_id
+    """,
+    # BPE-ish pre-tokenizer counts; the regex uses only constructs Java
+    # regex and RE2 share, with identical leftmost-first alternation
+    "bpe_token_count": """
+        SELECT doc_id AS id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}'']+')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
     """,
     # deterministic split assignment: first 48 bits of md5(id || salt)
     # mod 10000 basis points -> cumulative weight bands (0.9/0.05/0.05)

@@ -45,6 +45,7 @@ HEADLINE = [
     "token_stats",
     "doc_fingerprint",
     "repetition_scores",
+    "bpe_token_count",
     "hash_split",
     "bm25_term_scores",
     "rrf_fusion",

@@ -909,6 +909,33 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to constructs both Java regex
+# (Spark) and RE2 (DuckDB) support with identical leftmost-first
+# alternation: contraction suffixes, letter runs, digit runs, punctuation
+# runs. (The original GPT-2 pattern's \s+(?!\S) lookahead is RE2-illegal,
+# so whitespace is simply not counted — BPE tokenizers fold it into the
+# following word anyway.)
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}']+"
+
+
+def bpe_token_count(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token counts under BOTH counting conventions a training-data
+    budget needs: whitespace words and a BPE-ish pre-tokenizer regex
+    (letter runs / digit runs / punctuation runs / contraction suffixes —
+    the GPT-2 pre-tokenization shape). Pure JVM regexp_count, no Python.
+    Output: id, n_ws_tokens, n_bpe_tokens."""
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        ws.cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def token_stats(
     docs: DataFrame, group_cols: list[str], text_col: str = "text"
 ) -> DataFrame:

@@ -271,3 +271,19 @@ def test_hash_split(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "hello world", "en"),          # 2 ws, 2 bpe
+            (1, "it's 42 degrees!!", "en"),     # 3 ws; bpe: it,'s,42,degrees,!! = 5
+            (2, "a,b", "en"),                   # 1 ws; bpe: a , b = 3
+        ],
+        schema="doc_id long, text string, lang string",
+    )
+    rows = {r["id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in
+            D.bpe_token_count(df).collect()}
+    assert rows[0] == (2, 2)
+    assert rows[1] == (3, 5)
+    assert rows[2] == (1, 3)
