@@ -18,3 +18,12 @@ Operator ids (S*, E*, D*, T*, G*, Q*, U*) refer to SURVEY.md §2.
 __version__ = "0.1.0"
 
 from graphiti_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy: importing the package must not pull the full pipeline stack
+    if name == "GraphitiSpark":
+        from graphiti_spark.graphiti import GraphitiSpark
+
+        return GraphitiSpark
+    raise AttributeError(name)

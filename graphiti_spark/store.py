@@ -73,10 +73,32 @@ class ParquetStore:
                     os.rename(stale, live)
 
     def overwrite(self, table: str, df: DataFrame, partition_by: str | None = "group_id"):
+        """Full-table replace through the same stage-then-swap commit
+        protocol as merge_upsert: `df` MAY lazily derive from the table
+        itself (read-modify-overwrite, e.g. remove_episode's cascade) —
+        a direct overwrite would delete the source files mid-scan — and a
+        crash mid-commit leaves `__old` for recover() instead of losing
+        the table."""
+        import shutil
+
+        tmp = self.path(table) + "__staging"
+        shutil.rmtree(tmp, ignore_errors=True)
         w = df.write.mode("overwrite")
         if partition_by and partition_by in df.columns:
             w = w.partitionBy(partition_by)
-        w.parquet(self.path(table))
+        w.parquet(tmp)
+        final = self.path(table)
+        bak = final + "__old"
+        shutil.rmtree(bak, ignore_errors=True)
+        if os.path.isdir(final):
+            os.rename(final, bak)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            if os.path.isdir(bak):
+                os.rename(bak, final)  # roll back: staging rename failed
+            raise
+        shutil.rmtree(bak, ignore_errors=True)
 
     def merge_upsert(
         self,
