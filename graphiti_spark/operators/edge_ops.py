@@ -257,10 +257,11 @@ def near_dup_canonical_map(
     - small input (known_edge_count <= SALT_FAST_PATH_MAX, or unknown): one
       probe collect both fetches the pair list for the exact driver
       union-find and yields the pair count — the whole stage is one job.
-    - large input: the probe would be wasted twice over — its limit()
-      executes the candidate DAG with Spark's incremental-limit partition
-      ramp-up (deliberately UNDER-parallelized), and a pair volume above
-      the probe cap then re-runs the full DAG for persist+count. Instead
+    - large input: the probe would be wasted — a pair volume above the
+      probe cap means its limit() collect is thrown away and the full DAG
+      re-runs for persist+count (the limit's first wave is parallel now —
+      session.py sets spark.sql.limit.initialNumPartitions — but the
+      double execution remains). Instead
       the pair DAG is persisted and counted ONCE at full parallelism;
       the union-find then reads the cache — collected to the driver below
       DRIVER_CC_CACHED_MAX (a cache scan + serial union-find, identical
