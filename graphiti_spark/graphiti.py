@@ -127,6 +127,7 @@ class GraphitiSpark:
         or a list of dicts with url/warc_ts/text (html/lang/group_id
         optional). Returns the per-call pipeline outputs (the store holds
         the accumulated graph)."""
+        meta = None  # per-episode source/source_description overrides
         if isinstance(episodes, DataFrame):
             batch = episodes
             group_col = None
@@ -149,6 +150,15 @@ class GraphitiSpark:
             )
             batch = self.spark.createDataFrame(rows, schema=schema)
             group_col = F.col("group_id")
+            meta_rows = [
+                (e["url"], e.get("source", "text"), e.get("source_description", ""))
+                for e in episodes
+                if "source" in e or "source_description" in e
+            ]
+            if meta_rows:
+                meta = self.spark.createDataFrame(
+                    meta_rows, schema="name string, _src string, _srcd string"
+                )
         existing = self.store.read("nodes") if self.store.exists("nodes") else None
         result = run_pipeline(
             self.spark,
@@ -168,6 +178,15 @@ class GraphitiSpark:
             F.col("ep_valid_at").alias("valid_at"),
             "entity_edges",
         )
+        if meta is not None:
+            # the pipeline's S3 contract stamps source="text"; the facade
+            # honors the reference add_episode's per-episode overrides
+            eps = (
+                eps.join(F.broadcast(meta), on="name", how="left")
+                .withColumn("source", F.coalesce("_src", "source"))
+                .withColumn("source_description", F.coalesce("_srcd", "source_description"))
+                .drop("_src", "_srcd")
+            )
         self.store.merge_upsert("episodes", eps)
         self.store.merge_upsert("nodes", result["nodes"], array_merge_cols=("aliases",))
         self.store.merge_upsert("edges", result["edges"], array_merge_cols=("episodes",))

@@ -39,6 +39,8 @@ def test_facade_end_to_end(spark, tmp_path):
         episode_body="Alice Smith works at Initech Corp. Bob Jones met Alice Smith.",
         reference_time=NOW,
         group_id="manual",
+        source="message",
+        source_description="unit test",
     )
     assert g.store.read("episodes").count() == n_eps + 1
     assert g.store.read("nodes").count() > n_nodes
@@ -46,6 +48,8 @@ def test_facade_end_to_end(spark, tmp_path):
     # retrieval window: last-n per group, chronological
     eps = g.retrieve_episodes(NOW, last_n=2, group_ids=["manual"]).collect()
     assert len(eps) == 1 and eps[0]["group_id"] == "manual"
+    # per-episode source metadata survives the S3 contract's defaults
+    assert eps[0]["source"] == "message" and eps[0]["source_description"] == "unit test"
 
     # hybrid edge search finds the manual fact
     hits = g.search("Alice Smith Initech", num_results=5).collect()
