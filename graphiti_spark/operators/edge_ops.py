@@ -670,26 +670,54 @@ def per_episode_edge_candidates(
     ).select(F.col("q").alias("q_uuid"), F.col("doc").alias("cand_uuid"), "bm")
 
     if have_vec:
-        qv = new_edges.select(
-            F.col("uuid").alias("q_uuid"),
-            F.col("group_id").alias("g"),
-            quantize_col(F.col("fact_embedding")).alias("q_qv"),
-        ).withColumn("q_qn", F.sqrt(_dot(F.col("q_qv"), F.col("q_qv")).cast("double")))
-        cv = existing_edges.select(
-            F.col("uuid").alias("cand_uuid"),
-            F.col("group_id").alias("g"),
-            quantize_col(F.col("fact_embedding")).alias("c_qv"),
-        ).withColumn("c_qn", F.sqrt(_dot(F.col("c_qv"), F.col("c_qv")).cast("double")))
-        cos_expr = F.when(
-            (F.col("q_qn") > 0) & (F.col("c_qn") > 0),
-            _dot(F.col("q_qv"), F.col("c_qv")).cast("double")
-            / (F.col("q_qn") * F.col("c_qn")),
-        )
+        # cosine leg: cogrouped Arrow batches, one numpy int64 matmul per
+        # group, instead of |q| x |cand| interpreted 64-element aggregate
+        # expressions in a JVM join (measured ~4x on the driver-entry
+        # corpus). Quantization is the numpy twin of search.quantize_col
+        # (sign * floor(|x|*1000 + 0.5) = Spark round-half-up to smallint),
+        # the dot is exact in int64, and the float64 norm/divide matches
+        # the JVM double arithmetic op-for-op — bit-identical cos values,
+        # as the DuckDB oracle requires. Group cells are bounded by the
+        # group partitioning itself; memory per task is O(|group| * dim).
+        import numpy as np
+        import pandas as pd
+
+        min_score = DEFAULT_MIN_SCORE
+
+        def _cos_group(key, qdf: pd.DataFrame, cdf: pd.DataFrame):
+            if len(qdf) == 0 or len(cdf) == 0:
+                return pd.DataFrame({"q_uuid": [], "cand_uuid": [], "cos": []})
+
+            def quant(col):
+                m = np.array([np.asarray(v, dtype=np.float64) for v in col])
+                return (np.sign(m) * np.floor(np.abs(m) * 1000.0 + 0.5)).astype(np.int64)
+
+            q = quant(qdf["fact_embedding"])
+            c = quant(cdf["fact_embedding"])
+            qn = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+            cn = np.sqrt((c * c).sum(axis=1).astype(np.float64))
+            dots = (q @ c.T).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (qn[:, None] * cn[None, :])
+            ok = (qn[:, None] > 0) & (cn[None, :] > 0) & (cos >= min_score)
+            qi, ci = np.nonzero(ok)
+            return pd.DataFrame(
+                {
+                    "q_uuid": qdf["uuid"].to_numpy()[qi],
+                    "cand_uuid": cdf["uuid"].to_numpy()[ci],
+                    "cos": cos[qi, ci],
+                }
+            )
+
         cs = (
-            qv.join(cv, on="g")
-            .withColumn("cos", cos_expr)
-            .filter(F.col("cos") >= DEFAULT_MIN_SCORE)
-            .select("q_uuid", "cand_uuid", "cos")
+            new_edges.select("uuid", "group_id", "fact_embedding")
+            .groupBy("group_id")
+            .cogroup(
+                existing_edges.select("uuid", "group_id", "fact_embedding").groupBy(
+                    "group_id"
+                )
+            )
+            .applyInPandas(_cos_group, "q_uuid string, cand_uuid string, cos double")
         )
         pairs = bm.join(cs, on=["q_uuid", "cand_uuid"], how="full_outer")
     else:
