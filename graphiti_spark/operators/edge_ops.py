@@ -762,6 +762,11 @@ def per_episode_edge_candidates(
             )
         )
 
+    # four consumers read the pair set (2 scopes x {bm25, cosine} branches);
+    # without a checkpoint the whole candidate DAG — term join, cogrouped
+    # matmul, meta joins — executes four times per action. Lazy local
+    # checkpoint: materialized by the first action, blocks GC-released.
+    pairs = pairs.localCheckpoint(eager=False)
     return _scope(pairs, False).unionByName(
         _scope(pairs.filter(F.col("endpoint_match")), True)
     )
