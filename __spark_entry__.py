@@ -306,7 +306,7 @@ def _temporal_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _edge_neardup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphiti_spark.operators.edge_ops import merge_near_duplicate_edges
 
-    o = _t(spark, sf_dir, "orders")
+    o = dataops._spread_small_input(_t(spark, sf_dir, "orders"))
     par = (F.col("o_orderkey") % 2).cast("double")
     eps = (F.col("o_orderkey") % 7).cast("double") / 100.0
     edges = o.select(
