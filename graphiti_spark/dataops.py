@@ -55,13 +55,21 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     BEFORE any derived expression exists. At cluster scale the scan
     already arrives in >= defaultParallelism splits and this is a no-op,
     so the full corpus is never shuffled."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    sc = df.sparkSession.sparkContext
+    if not sc.master.startswith("local"):
+        # on a real cluster the scan already arrives in >= parallelism
+        # splits, and localCheckpoint's non-replicated blocks would make an
+        # executor loss after materialization unrecoverable (job failure
+        # instead of lineage recompute) — this helper is a local-mode-only
+        # fixup, so skip it (also skipping the getNumPartitions plan
+        # compile) everywhere else
+        return df
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
         # the lazy localCheckpoint cuts the plan at the exchange: without
         # it the optimizer pushes filters (whose conditions re-evaluate the
         # expensive derived expressions) below the repartition, back onto
         # the single scan partition
-        return df.repartition(par).localCheckpoint(eager=False)
+        return df.repartition(sc.defaultParallelism).localCheckpoint(eager=False)
     return df
 
 
@@ -129,8 +137,7 @@ def ngram_jaccard_pairs(
     doc_minhash_features / the reference dedup kernel: a document shorter
     than n words contributes its whole text as one shingle; shingles are
     distinct. Output: a_id, b_id, jac_x10000. Same lossless
-    lossless prefix-filtering candidate machinery as
-    token_jaccard_pairs."""
+    prefix-filtering candidate machinery as token_jaccard_pairs."""
     w = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     t0 = _spread_small_input(docs).select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), w.alias("w")
@@ -813,12 +820,20 @@ def hash_split(
     any cluster, any partitioning, any engine (DuckDB twin:
     CAST(concat('0x', substr(md5(s),1,12)) AS BIGINT) % 10000).
     Output: id, bucket, split."""
-    cum, bounds = 0.0, []
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    # integer basis points PER WEIGHT (then cumulated): rounding each
+    # weight independently keeps every interior boundary independent of
+    # float accumulation order — round(cum * 10000) could shift a boundary
+    # by 1 bp depending on which weights preceded it
+    cum, bounds = 0, []
     for name, wt in weights.items():
-        cum += wt
-        bounds.append((name, int(round(cum * SPLIT_BUCKETS))))
+        cum += int(round(wt * SPLIT_BUCKETS))
+        bounds.append((name, cum))
     if bounds[-1][1] != SPLIT_BUCKETS:
-        raise ValueError(f"weights must sum to 1.0, got cumulative {cum}")
+        raise ValueError(
+            f"weights must sum to 1.0 (in 1e-4 steps), got {bounds[-1][1]} basis points"
+        )
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 12), 16, 10).cast("long"),
         F.lit(SPLIT_BUCKETS),

@@ -76,22 +76,24 @@ class GraphitiSpark:
     def build_indices_and_constraints(self, delete_existing: bool = False) -> None:
         """ref graphiti.py:314-348. ParquetStore needs no DDL (partition
         layout is created on first write); an IcebergStore receives its
-        CREATE TABLE + WRITE ORDERED BY DDL through ensure_table."""
-        if delete_existing:
-            for t in ("episodes", "nodes", "edges", "mentions",
-                      "communities", "community_members"):
-                if hasattr(self.store, "delete_table"):
-                    self.store.delete_table(t)
-        if hasattr(self.store, "ensure_table"):
-            from graphiti_spark.schemas import STORE_TABLES  # type: ignore[attr-defined]
+        CREATE TABLE + WRITE ORDERED BY DDL through ensure_table (which
+        takes an exemplar DataFrame, so each table schema becomes an empty
+        frame here)."""
+        from graphiti_spark.schemas import STORE_TABLES
 
-            for t, schema in STORE_TABLES.items():  # pragma: no cover - Iceberg only
-                self.store.ensure_table(t, schema)
+        if delete_existing:
+            for t in STORE_TABLES:
+                self.store.delete_table(t)
+        if hasattr(self.store, "ensure_table"):
+            for t, schema in STORE_TABLES.items():
+                self.store.ensure_table(t, self.spark.createDataFrame([], schema))
 
     def close(self) -> None:
-        """ref graphiti.py:282 closes the DB driver; the SparkSession is
-        owned by the caller, so this only drops this instance's caches."""
-        self.spark.catalog.clearCache()
+        """ref graphiti.py:282 closes the DB driver. The SparkSession and
+        its session-global cache belong to the caller, and every pipeline
+        cache this facade creates is released per-call (result['release']
+        inside add_episode_bulk) — so there is nothing left to drop here;
+        the method exists for 1:1 surface parity."""
 
     # -- ingest ---------------------------------------------------------------
 
@@ -156,8 +158,17 @@ class GraphitiSpark:
                 if "source" in e or "source_description" in e
             ]
             if meta_rows:
-                meta = self.spark.createDataFrame(
-                    meta_rows, schema="name string, _src string, _srcd string"
+                # one override row per url: duplicate urls in one batch
+                # (degenerate but legal input) would fan out the episode
+                # join below — keep the deterministic max (source,
+                # description) pair per name instead
+                meta = (
+                    self.spark.createDataFrame(
+                        meta_rows, schema="name string, _src string, _srcd string"
+                    )
+                    .groupBy("name")
+                    .agg(F.max(F.struct("_src", "_srcd")).alias("_m"))
+                    .select("name", F.col("_m._src").alias("_src"), F.col("_m._srcd").alias("_srcd"))
                 )
         existing = self.store.read("nodes") if self.store.exists("nodes") else None
         result = run_pipeline(
@@ -225,16 +236,41 @@ class GraphitiSpark:
         self.store.merge_upsert("edges", edges, array_merge_cols=("episodes",))
 
     def remove_episode(self, episode_uuid: str) -> None:
-        """ref graphiti.py:1085-1113 cascade, applied to the store."""
+        """ref graphiti.py:1085-1113 cascade, applied to the store.
+
+        PARTITION-RESTRICTED: the cascade is group-local by construction
+        (every uuid embeds its group_id; mentions/edges only reference
+        same-group episodes and entities), so only the episode's group_id
+        partition of each table is read, recomputed and swapped — an O(1)
+        logical delete costs O(group), not O(table). Falls back to the
+        full-table rewrite for stores without overwrite_partitions or for
+        a null group_id (not value-addressable as a partition directory).
+        """
+        row = (
+            self.store.read("episodes")
+            .filter(F.col("uuid") == episode_uuid)
+            .select("group_id")
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            return  # unknown episode: nothing to cascade
+        gid = row[0]["group_id"]
+        restricted = gid is not None and hasattr(self.store, "overwrite_partitions")
+
+        def _read(t):
+            df = self.store.read(t)
+            return df.filter(F.col("group_id") == gid) if restricted else df
+
         out = _remove_episode(
-            self.store.read("episodes"),
-            self.store.read("nodes"),
-            self.store.read("edges"),
-            self.store.read("mentions"),
+            _read("episodes"), _read("nodes"), _read("edges"), _read("mentions"),
             episode_uuid,
         )
         for table, df in out.items():
-            self.store.overwrite(table, df)
+            if restricted:
+                self.store.overwrite_partitions(table, df, [gid])
+            else:
+                self.store.overwrite(table, df)
 
     # -- retrieval ------------------------------------------------------------
 

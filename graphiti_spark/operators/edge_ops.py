@@ -607,10 +607,43 @@ def invalidate_contradictions(
 RELATED_EDGE_LIMIT = 10  # ref search/search_config.py DEFAULT_SEARCH_LIMIT
 
 
+COSINE_CAND_BLOCKS = 8  # hub-group grid width for the cogrouped cosine leg
+
+
+def _blocked_cosine_frames(
+    new_edges: DataFrame, existing_edges: DataFrame, n_blocks: int
+):
+    """Cogroup inputs for the hybrid-candidate cosine leg, gridded so a hub
+    group never lands in ONE pandas task: the existing-edge (candidate)
+    side splits into `n_blocks` disjoint hash blocks per group, the query
+    side replicates across all blocks. Cogrouping on (group_id, _blk)
+    bounds single-task memory/CPU at O(|group| / n_blocks * |q_group|)
+    while the union over blocks is EXACTLY the unblocked pair set (each
+    candidate lives in exactly one block). NULL/empty embeddings are
+    dropped on both sides — the pre-cogroup JVM expression this leg
+    replaced produced NULL cosine for them, which the >= min_score filter
+    discarded; numpy would instead crash on the ragged array."""
+    vec_ok = F.col("fact_embedding").isNotNull() & (F.size("fact_embedding") > 0)
+    q = (
+        new_edges.select("uuid", "group_id", "fact_embedding")
+        .filter(vec_ok)
+        .withColumn(
+            "_blk", F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
+        )
+    )
+    c = (
+        existing_edges.select("uuid", "group_id", "fact_embedding")
+        .filter(vec_ok)
+        .withColumn("_blk", F.pmod(F.xxhash64("uuid"), F.lit(n_blocks)).cast("int"))
+    )
+    return q, c
+
+
 def per_episode_edge_candidates(
     new_edges: DataFrame,
     existing_edges: DataFrame,
     k: int = RELATED_EDGE_LIMIT,
+    cosine_blocks: int = COSINE_CAND_BLOCKS,
 ) -> DataFrame:
     """T3 per-episode candidate generation (ref utils/maintenance/
     edge_operations.py:256-296): for each newly extracted edge, hybrid-
@@ -677,14 +710,23 @@ def per_episode_edge_candidates(
         # (sign * floor(|x|*1000 + 0.5) = Spark round-half-up to smallint),
         # the dot is exact in int64, and the float64 norm/divide matches
         # the JVM double arithmetic op-for-op — bit-identical cos values,
-        # as the DuckDB oracle requires. Group cells are bounded by the
-        # group partitioning itself; memory per task is O(|group| * dim).
+        # as the DuckDB oracle requires. Task cells are (group, block): the
+        # candidate side grids into `cosine_blocks` hash blocks inside each
+        # group (_blocked_cosine_frames), so a hub group spreads over
+        # n_blocks tasks and per-task memory is O(|group|/n_blocks * dim).
         import numpy as np
         import pandas as pd
 
         min_score = DEFAULT_MIN_SCORE
 
         def _cos_group(key, qdf: pd.DataFrame, cdf: pd.DataFrame):
+            if len(qdf) == 0 or len(cdf) == 0:
+                return pd.DataFrame({"q_uuid": [], "cand_uuid": [], "cos": []})
+            # belt over the DataFrame-side isNotNull filter: a null/empty
+            # vector that slipped through (schema drift) must degrade to
+            # "no match", not crash the task on a ragged np.array
+            qdf = qdf[qdf.fact_embedding.map(lambda v: v is not None and len(v) > 0)]
+            cdf = cdf[cdf.fact_embedding.map(lambda v: v is not None and len(v) > 0)]
             if len(qdf) == 0 or len(cdf) == 0:
                 return pd.DataFrame({"q_uuid": [], "cand_uuid": [], "cos": []})
 
@@ -709,14 +751,10 @@ def per_episode_edge_candidates(
                 }
             )
 
+        qb, cb = _blocked_cosine_frames(new_edges, existing_edges, cosine_blocks)
         cs = (
-            new_edges.select("uuid", "group_id", "fact_embedding")
-            .groupBy("group_id")
-            .cogroup(
-                existing_edges.select("uuid", "group_id", "fact_embedding").groupBy(
-                    "group_id"
-                )
-            )
+            qb.groupBy("group_id", "_blk")
+            .cogroup(cb.groupBy("group_id", "_blk"))
             .applyInPandas(_cos_group, "q_uuid string, cand_uuid string, cos double")
         )
         pairs = bm.join(cs, on=["q_uuid", "cand_uuid"], how="full_outer")

@@ -97,6 +97,26 @@ COMMUNITIES = StructType(
     ]
 )
 
+COMMUNITY_MEMBERS = StructType(
+    [
+        StructField("edge_uuid", StringType(), False),
+        StructField("group_id", StringType(), False),
+        StructField("source_node_uuid", StringType(), False),  # community
+        StructField("target_node_uuid", StringType(), False),  # member entity
+    ]
+)
+
+# every table a graph store materializes (GraphitiSpark.build_indices_and
+# _constraints iterates this to issue CREATE TABLE DDL on catalog stores)
+STORE_TABLES: dict[str, StructType] = {
+    "episodes": EPISODES,
+    "nodes": NODES,
+    "edges": EDGES,
+    "mentions": MENTIONS,
+    "communities": COMMUNITIES,
+    "community_members": COMMUNITY_MEMBERS,
+}
+
 # intermediate: one row per extracted mention (pre-resolution)
 RAW_MENTIONS = StructType(
     [

@@ -100,6 +100,54 @@ class ParquetStore:
             raise
         shutil.rmtree(bak, ignore_errors=True)
 
+    def overwrite_partitions(self, table: str, df: DataFrame, groups: list[str]) -> None:
+        """Replace ONLY the given group_id partitions with `df`'s rows —
+        the partition-restricted form of `overwrite` (O(touched groups)
+        I/O, like Iceberg's dynamic partition overwrite). `df` must hold
+        rows for those groups only; untouched partitions' files are never
+        rewritten or moved. A group in `groups` for which `df` has no rows
+        is deleted (its live directory removed).
+
+        Same stage-then-swap protocol as merge_upsert's touched-partition
+        path, so recover() handles mid-swap crashes; for the became-empty
+        case a crash between the aside-rename and cleanup resurrects the
+        partition on recover — re-running the delete is idempotent.
+        """
+        import shutil
+        import urllib.parse
+
+        self.recover(table)
+        if not self.exists(table):
+            self.overwrite(table, df)
+            return
+        tmp = self.path(table) + "__staging"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").partitionBy("group_id").parquet(tmp)
+        final = self.path(table)
+        staged = {e for e in os.listdir(tmp) if e.startswith("group_id=")}
+        for part in staged:
+            src, dst = os.path.join(tmp, part), os.path.join(final, part)
+            bak = dst + "__old"
+            shutil.rmtree(bak, ignore_errors=True)
+            if os.path.isdir(dst):
+                os.rename(dst, bak)
+            os.rename(src, dst)
+            shutil.rmtree(bak, ignore_errors=True)
+        # groups that became empty produce no staging dir — drop their live
+        # dir. Partition values are matched by unescaping the Hive-style
+        # %xx path encoding (identity for the url-host/word group ids this
+        # engine generates).
+        wanted = set(groups)
+        for entry in os.listdir(final):
+            if not entry.startswith("group_id=") or entry.endswith("__old"):
+                continue
+            if entry in staged:
+                continue
+            value = urllib.parse.unquote(entry[len("group_id="):])
+            if value in wanted:
+                shutil.rmtree(os.path.join(final, entry), ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def merge_upsert(
         self,
         table: str,
@@ -238,6 +286,13 @@ class ParquetStore:
     # S10 — deletes
     # ------------------------------------------------------------------
 
+    def delete_table(self, table: str) -> None:
+        """Drop the table directory (plus any staging/backup remnants)."""
+        import shutil
+
+        for suffix in ("", "__staging", "__old"):
+            shutil.rmtree(self.path(table) + suffix, ignore_errors=True)
+
     def delete_group(self, group_ids: list[str]) -> None:
         """clear_data(group_ids): partition-pruned delete across all tables."""
         for table in ("episodes", "nodes", "edges", "mentions"):
@@ -360,6 +415,9 @@ class IcebergStore:
 
     def read(self, table: str) -> DataFrame:
         return self.spark.table(self.qualified(table))
+
+    def delete_table(self, table: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.qualified(table)}")
 
 
 # ---------------------------------------------------------------------------

@@ -118,17 +118,20 @@ def episode_context_stream(
         (group_id,) = key
         if state.exists:
             ts_list, id_list = state.get
-            tail = list(zip(list(ts_list), list(id_list)))
+            tail_ts, tail_ids = list(ts_list), list(id_list)
         else:
-            tail = []
+            tail_ts, tail_ids = [], []
         rows = pd.concat(list(pdf_iter), ignore_index=True)
         rows = rows.sort_values(["valid_at", "uuid"]).reset_index(drop=True)
-        out_prev = []
-        for _, r in rows.iterrows():
-            out_prev.append([u for _, u in tail[-n:]])
-            tail.append((int(r["valid_at"].value), r["uuid"]))
-            tail = tail[-n:]
-        state.update(([t for t, _ in tail], [u for _, u in tail]))
+        # rolling last-n window as slices over ONE combined id list (state
+        # tail + this batch, both ascending): row j's context is the n ids
+        # preceding position base+j — no per-row Series construction
+        # (iterrows), just len(rows) list slices of width <= n
+        all_ids = tail_ids + rows["uuid"].tolist()
+        base = len(tail_ids)
+        out_prev = [all_ids[max(0, base + j - n): base + j] for j in range(len(rows))]
+        new_ts = tail_ts + [int(v) for v in rows["valid_at"].astype("int64")]
+        state.update((new_ts[-n:], all_ids[-n:]))
         yield pd.DataFrame(
             {
                 "uuid": rows["uuid"],

@@ -1,0 +1,122 @@
+"""Interleaved A/B scaling campaign — the contention-robust protocol.
+
+bench_scaling.py measures the two parallelism levels in separate blocks;
+on a host with EXTERNAL bursty load (this sandbox: 1-min loadavg swings
+0.1 -> 9 on a ~10-20 min cadence from outside the container) a burst that
+lands inside one block but not the other biases the ratio in either
+direction. This variant removes the block structure:
+
+  pair 1: local[N] run, local[4N] run        (adjacent in time)
+  pair 2: local[N] run, local[4N] run
+  ...
+
+Each PAIR sees (approximately) the same ambient load, so the per-pair
+efficiency is a paired observation; the campaign reports every pair, the
+paired-median efficiency, and the min/max band. Each run is additionally
+loadavg-gated (wait for quiet before starting) and the before/after load
+averages are recorded so a reader can discard polluted pairs by a stated
+rule (load_after > threshold at either level), not by eyeball.
+
+Same worker and pinning rules as bench_scaling.py (fresh pinned JVM per
+measured run, in-JVM warm-up slice, corpus materialized to parquet once,
+identical initial shuffle partitioning at both levels).
+
+Usage:
+  python scripts/bench_scaling_ab.py --pages 400000 --pairs 3 --n 2 --quiet 1.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+from bench_scaling import WORKER, wait_for_quiet  # noqa: E402
+
+
+def one_run(cpus: int, pages: int, pages_dir: str, quiet: float | None) -> dict:
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(
+        {
+            "SCALE_CPUS": str(cpus),
+            "SCALE_PAGES": str(pages),
+            "SCALE_PAGES_DIR": pages_dir,
+            "SPARK_GRAFT_SHUFFLE": "64",
+        }
+    )
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", WORKER]
+    load0 = wait_for_quiet(quiet) if quiet is not None else os.getloadavg()[0]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3000)
+    load1 = os.getloadavg()[0]
+    for line in proc.stdout.splitlines():
+        if line.startswith("WORKER_RESULT "):
+            r = json.loads(line[len("WORKER_RESULT "):])["runs"][0]
+            return {
+                "cpus": cpus,
+                "sec": round(r["sec"], 2),
+                "triples": r["triples"],
+                "load_before": round(load0, 2),
+                "load_after": round(load1, 2),
+            }
+    raise RuntimeError(
+        f"worker local[{cpus}] failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=400000)
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--quiet", type=float, default=1.5)
+    ap.add_argument(
+        "--qualify-load",
+        type=float,
+        default=None,
+        help="a pair QUALIFIES only if load_after at both levels is below "
+        "this (default: quiet + 4N + 1.0 — own load plus one ambient core)",
+    )
+    args = ap.parse_args()
+    qualify = args.qualify_load if args.qualify_load is not None else (4 * args.n + 1.0)
+
+    import tempfile
+
+    pages_dir = os.path.join(tempfile.gettempdir(), f"graphiti_scale_pages_{args.pages}")
+
+    pairs = []
+    for i in range(args.pairs):
+        lo = one_run(args.n, args.pages, pages_dir, args.quiet)
+        hi = one_run(args.n * 4, args.pages, pages_dir, args.quiet)
+        eff = (lo["sec"] / hi["sec"]) / 4.0
+        qualifies = (
+            lo["load_after"] <= args.n + 1.0 + args.quiet
+            and hi["load_after"] <= qualify
+        )
+        pair = {"pair": i + 1, "lo": lo, "hi": hi, "eff": round(eff, 3), "qualifies": qualifies}
+        pairs.append(pair)
+        print("PAIR " + json.dumps(pair), flush=True)
+
+    effs = [p["eff"] for p in pairs]
+    qeffs = [p["eff"] for p in pairs if p["qualifies"]] or effs
+    out = {
+        "pages": args.pages,
+        "triples": pairs[0]["lo"]["triples"],
+        "n_cpus": args.n,
+        "n4_cpus": args.n * 4,
+        "pairs": pairs,
+        "eff_all": effs,
+        "eff_qualifying": qeffs,
+        "eff_paired_median": round(statistics.median(qeffs), 3),
+        "eff_min": round(min(qeffs), 3),
+        "eff_max": round(max(qeffs), 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -287,3 +287,20 @@ def test_bpe_token_count(spark):
     assert rows[0] == (2, 2)
     assert rows[1] == (3, 5)
     assert rows[2] == (1, 3)
+
+
+def test_hash_split_guards(spark):
+    import pytest
+
+    df = spark.createDataFrame([(i, "x", "en") for i in range(4)],
+                               schema="doc_id long, text string, lang string")
+    with pytest.raises(ValueError):
+        D.hash_split(df, {})
+    with pytest.raises(ValueError):
+        D.hash_split(df, {"train": 0.5, "val": 0.4})  # sums to 0.9
+    # boundaries are per-weight integer basis points: 0.3/0.3/0.4 ->
+    # 3000/6000/10000 regardless of float accumulation order
+    out = D.hash_split(df, {"a": 0.3, "b": 0.3, "c": 0.4})
+    for r in out.collect():
+        want = "a" if r["bucket"] < 3000 else ("b" if r["bucket"] < 6000 else "c")
+        assert r["split"] == want

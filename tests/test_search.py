@@ -273,3 +273,72 @@ def test_per_episode_edge_candidates_scopes(spark):
     for flag in (True, False):
         top = [r for r in out if r["restricted"] == flag and r["rank"] == 1]
         assert top[0]["cand_uuid"] == "e1"
+
+
+def test_per_episode_candidates_null_embeddings(spark):
+    """Rows with NULL/empty fact_embedding must degrade to no-cosine-match
+    (the old JVM expression's NULL-cos semantics), never crash the
+    cogrouped numpy task on a ragged array."""
+    from graphiti_spark.operators.edge_ops import per_episode_edge_candidates
+
+    vec = [1.0, 0.0, 0.0]
+    existing = spark.createDataFrame(
+        [
+            ("e1", "g1", "alice", "acme", "alice works at acme", vec),
+            ("e2", "g1", "alice", "acme", "alice joined acme", None),
+            ("e3", "g1", "bob", "acme", "bob works at acme", []),
+        ],
+        "uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string, fact string, fact_embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [
+            ("n1", "g1", "alice", "acme", "alice works at acme", vec),
+            ("n2", "g1", "bob", "acme", "bob works at acme", None),
+        ],
+        existing.schema,
+    )
+    out = per_episode_edge_candidates(new, existing, k=10).collect()
+    # both queries still rank candidates through the bm25 leg
+    assert {r["q_uuid"] for r in out} == {"n1", "n2"}
+    # e1 tops n1's restricted scope (bm25 exact + cosine 1.0)
+    top = [r for r in out if r["q_uuid"] == "n1" and r["restricted"] and r["rank"] == 1]
+    assert top[0]["cand_uuid"] == "e1"
+
+
+def test_per_episode_candidates_hub_group_blocking(spark):
+    """One dominant group must spread the cosine leg over >1 cogroup task:
+    the candidate side grids into multiple (group, _blk) cells, and the
+    blocked result is identical to the unblocked one."""
+    from graphiti_spark.operators.edge_ops import (
+        _blocked_cosine_frames,
+        per_episode_edge_candidates,
+    )
+
+    rows = [
+        (f"e{i:03d}", "hub", f"s{i % 7}", f"t{i % 5}",
+         f"s{i % 7} fact {i} t{i % 5}", [1.0, float(i % 3), 0.5])
+        for i in range(60)
+    ]
+    existing = spark.createDataFrame(
+        rows,
+        "uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string, fact string, fact_embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [("q1", "hub", "s1", "t1", "s1 fact 8 t1", [1.0, 2.0, 0.5])],
+        existing.schema,
+    )
+    _, cb = _blocked_cosine_frames(new, existing, 8)
+    n_cells = cb.select("_blk").distinct().count()
+    assert n_cells > 1  # the hub group's candidates span multiple tasks
+
+    def key(rows_):
+        return sorted(
+            (r["q_uuid"], r["cand_uuid"], r["restricted"], r["rrf_x1e6"], r["rank"])
+            for r in rows_
+        )
+
+    blocked = key(per_episode_edge_candidates(new, existing, k=10, cosine_blocks=8).collect())
+    unblocked = key(per_episode_edge_candidates(new, existing, k=10, cosine_blocks=1).collect())
+    assert blocked == unblocked and len(blocked) > 0

@@ -197,3 +197,52 @@ def test_iceberg_sort_order_sql():
 
     sql = IcebergStore.sort_order_sql("cat.ns.edges", ("group_id", "uuid"))
     assert sql == "ALTER TABLE cat.ns.edges WRITE ORDERED BY (group_id, uuid)"
+
+
+def _partition_file_hashes(root, part):
+    """(relpath -> md5) of every file under <root>/group_id=<part>."""
+    import hashlib
+    import os
+
+    base = os.path.join(root, f"group_id={part}")
+    out = {}
+    for dirpath, _, files in os.walk(base):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, base)] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+def test_overwrite_partitions_untouched_bytes(spark, tmp_path):
+    """overwrite_partitions rewrites ONLY the named groups: other
+    partitions' files stay byte-identical on disk, a group whose
+    replacement frame is empty is deleted."""
+    store = ParquetStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [("a1", "ga", 1), ("a2", "ga", 2), ("b1", "gb", 3), ("c1", "gc", 4)],
+        schema="uuid string, group_id string, v long",
+    )
+    store.overwrite("t", base)
+    untouched_before = _partition_file_hashes(store.path("t"), "gb")
+    assert untouched_before
+
+    # replace ga with one row; gc becomes empty (deleted)
+    repl = spark.createDataFrame(
+        [("a9", "ga", 9)], schema="uuid string, group_id string, v long"
+    )
+    store.overwrite_partitions("t", repl, ["ga", "gc"])
+
+    rows = {r["uuid"]: (r["group_id"], r["v"]) for r in store.read("t").collect()}
+    assert rows == {"a9": ("ga", 9), "b1": ("gb", 3)}
+    assert _partition_file_hashes(store.path("t"), "gb") == untouched_before
+
+
+def test_delete_table(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path))
+    store.overwrite(
+        "t", spark.createDataFrame([("u", "g", 1)], "uuid string, group_id string, v long")
+    )
+    assert store.exists("t")
+    store.delete_table("t")
+    assert not store.exists("t")

