@@ -8,10 +8,14 @@ integer-scaled columns (x10000 / x1e6) and times as epoch microseconds so
 the driver's value-hash comparison is engine-exact (integer arithmetic and
 IEEE sqrt/div on identical inputs are bit-identical in Spark and DuckDB).
 
-Non-SQL-expressible entries (full KG pipeline, MinHash-LSH, SimHash,
-label propagation) omit the oracle; their semantics are pinned instead by
-tests/ (reference-ported kernels + the single-process reference-semantics
-oracle in graphiti_spark/oracle.py).
+Non-SQL-expressible entries (the seeded-randomness/blake2b legs: the
+datagen-driven kg_* trio, LSH-ANN, label propagation) omit the oracle;
+their semantics are pinned instead by tests/ (reference-ported kernels +
+the single-process reference-semantics oracle in graphiti_spark/oracle.py).
+The FULL pipeline is value-checked end-to-end anyway through
+kg_pipeline_edges_closed: the same run_pipeline over a closed-form page
+slice (datagen.closed_form_pages) whose fuzzy/cosine legs provably fire on
+zero pairs, with a DuckDB twin of extraction -> exact dedup -> T1 -> T6/T7.
 """
 
 from __future__ import annotations
@@ -78,6 +82,49 @@ def _pipeline_result(spark: SparkSession, sf_dir: str) -> dict:
 
 def _kg_pipeline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = _pipeline_result(spark, sf_dir)
+    nodes = result["nodes"].select("uuid", "norm_name")
+    return (
+        result["edges"]
+        .join(
+            nodes.withColumnRenamed("uuid", "source_node_uuid").withColumnRenamed(
+                "norm_name", "subj_name"
+            ),
+            on="source_node_uuid",
+        )
+        .join(
+            nodes.withColumnRenamed("uuid", "target_node_uuid").withColumnRenamed(
+                "norm_name", "obj_name"
+            ),
+            on="target_node_uuid",
+        )
+        .select(
+            "group_id",
+            "subj_name",
+            F.col("name").alias("predicate"),
+            "obj_name",
+            "norm_fact",
+            F.unix_micros("valid_at").alias("valid_us"),
+            F.unix_micros("invalid_at").alias("invalid_us"),
+        )
+    )
+
+
+def _kg_pipeline_edges_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline made VALUE-checkable (round-3 verdict ask #2):
+    the REAL run_pipeline — S3 ingest, mapInPandas regex extraction, exact
+    node dedup, D15 rewrite, T1 first-wins fact dedup, two-phase T6/T7
+    temporal algebra, near-dup merge — over datagen.closed_form_pages
+    derived from the `orders` table by pure arithmetic. The construction
+    guarantees the two seeded/hash legs (fuzzy LSH node pairing, cosine
+    edge merge) provably fire on ZERO pairs (tests/test_closed_oracle.py
+    asserts both), so the DuckDB twin below recomputes the full canonical
+    edge table — rows, schema, values — from `orders` alone."""
+    from graphiti_spark.datagen import closed_form_pages
+    from graphiti_spark.pipeline import run_pipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = closed_form_pages(_t(spark, sf_dir, "orders"))
+    result = run_pipeline(spark, pages, now=_FIXED_NOW, with_embeddings=False)
     nodes = result["nodes"].select("uuid", "norm_name")
     return (
         result["edges"]
@@ -581,6 +628,7 @@ def _edge_hybrid_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pipeline_edges": _kg_pipeline_edges,
+        "kg_pipeline_edges_closed": _kg_pipeline_edges_closed,
         "kg_top_predicates": _kg_top_predicates,
         "kg_communities": _kg_communities,
         "prev_episodes_topk": _prev_episodes_topk,
@@ -615,6 +663,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+def _kg_closed_oracle() -> str:
+    """DuckDB twin of _kg_pipeline_edges_closed: recompute the canonical
+    edge table from `orders` directly. Page construction is mirrored from
+    datagen.closed_form_pages; the pipeline algebra mirrored:
+
+    - extraction: each page contributes exactly the two planted triples
+      (the regexes in extraction.py:33,71-76 recover precisely them —
+      pinned by tests/test_closed_oracle.py's extraction-level assert);
+      valid_at = since-date (t=6) else episode warc_ts; until-date (t=7)
+      -> extracted invalid_at (DATETIME rules).
+    - node dedup: exact only by construction -> subj/obj names are the
+      lowercased surface forms.
+    - T1 (edge_ops.dedup_edges): first-wins per (group, subj, obj,
+      norm_fact); created_at / winner valid_at = the min-warc_ts member's.
+    - T6/T7 (edge_ops.invalidation_map two-phase algebra): per edge E,
+      A(E) = extracted invalid_at else min earlier-arrived contradicting
+      valid; then later-arrived contradictions guarded by A(c); arrival
+      order reduces to created_at (unique per edge within a domain by
+      construction). least() ignores NULLs in both engines.
+    """
+    page = """
+        WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+                          ((o_custkey % 1000) * 37 + (o_orderkey % 40)) AS s
+                   FROM orders),
+        p AS (SELECT k, c, s, (s % 8) AS t,
+                     'h' || (c % 8)::VARCHAR || '.example' AS grp,
+                     'pat c' || substr(printf('%06d', c::INT), 1, 1) || 'b'
+                              || substr(printf('%06d', c::INT), 2, 1) || 'd'
+                              || substr(printf('%06d', c::INT), 3, 1) || 'f'
+                              || substr(printf('%06d', c::INT), 4, 1) || 'g'
+                              || substr(printf('%06d', c::INT), 5, 1) || 'h'
+                              || substr(printf('%06d', c::INT), 6, 1) || ' moreau' AS person,
+                     printf('orgunit k%02d corp', (k %% 40)::INT) AS org,
+                     printf('zone z%02d springs', (s %% 12)::INT) AS zone,
+                     printf('2024-%02d-%02d', (1 + s %% 12)::INT, (1 + (s * 7) %% 28)::INT) AS ds,
+                     make_timestamp(2024, (1 + s %% 12)::BIGINT, (1 + (s * 7) %% 28)::BIGINT, 0, 0, 0) AS dt,
+                     TIMESTAMP '2024-01-01 00:00:00' + to_minutes(k::BIGINT) AS wts
+              FROM o),
+        raw AS (
+            SELECT grp, person AS subj, org AS obj, 'WORKS_AT' AS pred,
+                   CASE WHEN t <= 5 THEN person || ' works at ' || org || '.'
+                        WHEN t = 6 THEN person || ' works at ' || org || ' since ' || ds || '.'
+                        ELSE person || ' worked at ' || org || ' until ' || ds || '.' END AS norm_fact,
+                   wts, t, dt
+            FROM p
+            UNION ALL
+            SELECT grp, org, zone, 'BASED_IN',
+                   org || ' is based in ' || zone || '.', wts, NULL, NULL
+            FROM p),
+        dedup AS (
+            SELECT grp, subj, obj, pred, norm_fact,
+                   min(wts) AS created_at,
+                   CASE WHEN min(t) = 6 THEN min(dt) ELSE min(wts) END AS valid_at,
+                   CASE WHEN min(t) = 7 THEN min(dt) END AS inv_ext
+            FROM raw GROUP BY 1, 2, 3, 4, 5),
+        a_map AS (
+            SELECT e.grp, e.subj, e.pred, e.obj, e.norm_fact, e.created_at, e.valid_at,
+                   coalesce(e.inv_ext,
+                            min(CASE WHEN c.created_at < e.created_at
+                                      AND c.valid_at > e.valid_at
+                                     THEN c.valid_at END)) AS a
+            FROM dedup e LEFT JOIN dedup c
+              ON c.grp = e.grp AND c.subj = e.subj AND c.pred = e.pred
+                 AND c.obj <> e.obj
+            GROUP BY e.grp, e.subj, e.pred, e.obj, e.norm_fact,
+                     e.created_at, e.valid_at, e.inv_ext),
+        final AS (
+            SELECT e.grp, e.subj, e.pred, e.obj, e.norm_fact, e.valid_at,
+                   least(e.a,
+                         min(CASE WHEN c.created_at > e.created_at
+                                   AND c.valid_at > e.valid_at
+                                   AND (c.a IS NULL OR c.a > e.valid_at)
+                                  THEN c.valid_at END)) AS invalid_at
+            FROM a_map e LEFT JOIN a_map c
+              ON c.grp = e.grp AND c.subj = e.subj AND c.pred = e.pred
+                 AND c.obj <> e.obj
+            GROUP BY e.grp, e.subj, e.pred, e.obj, e.norm_fact, e.valid_at, e.a)
+        SELECT grp AS group_id, subj AS subj_name, pred AS predicate,
+               obj AS obj_name, norm_fact,
+               epoch_us(valid_at) AS valid_us, epoch_us(invalid_at) AS invalid_us
+        FROM final
+    """
+    return page.replace("%%", "%")
 
 
 def _minhash_oracle() -> str:
@@ -844,6 +977,7 @@ _ORACLES: dict[str, str] = {
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.85
     """,
+    "kg_pipeline_edges_closed": _kg_closed_oracle(),
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "ann_cosine_topk": _ANN_BRUTE_SQL,

@@ -307,6 +307,98 @@ def distributed_pages(spark, n_pages: int, seed: int = 42, partitions: int | Non
     )
 
 
+def closed_form_pages(orders_df):
+    """web_pages whose KG-pipeline output has a CLOSED FORM — the basis of
+    the kg_pipeline_edges_closed DuckDB value oracle (round-3 verdict ask):
+    every page derives from one `orders` row by pure integer/format-string
+    arithmetic both engines can compute, and the construction provably
+    never activates the two non-SQL-expressible legs:
+
+    - entity names collide ONLY exactly (case variants normalize to one
+      norm_exact key; distinct names are far below the 0.9 shingle-Jaccard
+      fuzzy bar — asserted empty in tests/test_closed_oracle.py), so node
+      canonicalization is pure exact dedup;
+    - every post-T1 endpoint pair carries exactly ONE edge (the normalized
+      fact is a function of the endpoint pair), so the cosine near-dup
+      merge has zero candidate pairs (asserted in the same test).
+
+    What the slice DOES exercise end-to-end: html-less S3 ingest, sentence
+    split, mention + predicate-lexicon extraction with since/until date
+    rules (extraction.py:33,71-76), exact node dedup over case variants,
+    D15 pointer rewrite, T1 first-wins fact dedup with provenance merge,
+    and the full two-phase T6/T7 temporal algebra — all against a
+    recomputable SQL twin (see __spark_entry__._ORACLES).
+
+    Per orders row (k=o_orderkey, c=o_custkey), with s=(c%1000)*37+(k%40):
+      person 'Pat C<d1>b<d2>d<d3>f<d4>g<d5>h<d6> Moreau'  (Person; d1..d6 =
+             zero-padded digits of c, separator-anchored — see below)
+      org    'Orgunit K<k%40:02d> Corp' (Organization; UPPERCASE first word
+                                         when k%3==0 -> exact-dup variant)
+      zone   'Zone Z<s%12:02d> Springs' (Place)
+      sentence 1 (t=s%8):  t<=5  '<person> works at <org>.'
+                           t==6  '... works at ... since 2024-MM-DD.'
+                           t==7  '... worked at ... until 2024-MM-DD.'
+      sentence 2:          '<org> is based in <zone>.'
+      (+ a mention-free filler sentence when s%4==0)
+      url https://h<c%8>.example/p<k>   (group = url host)
+      warc_ts 2024-01-01 + k minutes    (unique per page -> total arrival
+                                         order, so T6 arrival ranks reduce
+                                         to created_at comparisons)
+    """
+    from pyspark.sql import functions as F
+
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    df = orders_df.select(
+        k.alias("k"), c.alias("c"), ((c % 1000) * 37 + (k % 40)).alias("s")
+    )
+    s = F.col("s")
+    t = s % 8
+    date_str = F.format_string(
+        "2024-%02d-%02d",
+        (F.lit(1) + s % 12).cast("int"),
+        (F.lit(1) + (s * 7) % 28).cast("int"),
+    )
+    # PROVABLY fuzzy-inert ids. The fuzzy leg judges char-3-gram Jaccard of
+    # the space-stripped name at >= 0.9; plain digit ids defeat both naive
+    # and zero-padded rendering ('c112' vs 'c1112' -> 0.93; padded '011010'
+    # vs '010110' have IDENTICAL trigram sets). Person ids therefore
+    # interleave the 6 padded digits with separator letters (b,d,f,g,h)
+    # that occur exactly once in the whole name: every trigram touching a
+    # digit contains a unique-position anchor, so a digit change removes 3
+    # trigrams that cannot re-match elsewhere -> Jaccard <= (N-3)/(N+3) ~
+    # 0.73 for ANY distinct pair. Org/zone 2-digit ids are anchored the
+    # same way by the adjacent unique letters (k/z) and the digit-free rest
+    # of the name (>= 2 trigram diffs -> <= 0.75). Asserted empty at driver
+    # scale in tests/test_closed_oracle.py.
+    pad = F.format_string("%06d", F.col("c"))
+    person = F.concat(
+        F.lit("Pat C"),
+        F.substring(pad, 1, 1), F.lit("b"), F.substring(pad, 2, 1), F.lit("d"),
+        F.substring(pad, 3, 1), F.lit("f"), F.substring(pad, 4, 1), F.lit("g"),
+        F.substring(pad, 5, 1), F.lit("h"), F.substring(pad, 6, 1),
+        F.lit(" Moreau"),
+    )
+    org = F.concat(
+        F.when(F.col("k") % 3 == 0, F.lit("ORGUNIT")).otherwise(F.lit("Orgunit")),
+        F.format_string(" K%02d Corp", F.col("k") % 40),
+    )
+    zone = F.format_string("Zone Z%02d Springs", s % 12)
+    sent1 = (
+        F.when(t <= 5, F.concat(person, F.lit(" works at "), org, F.lit(".")))
+        .when(t == 6, F.concat(person, F.lit(" works at "), org, F.lit(" since "), date_str, F.lit(".")))
+        .otherwise(F.concat(person, F.lit(" worked at "), org, F.lit(" until "), date_str, F.lit(".")))
+    )
+    sent2 = F.concat(org, F.lit(" is based in "), zone, F.lit("."))
+    filler = F.when(s % 4 == 0, F.lit(" " + _FILLER[0])).otherwise(F.lit(""))
+    return df.select(
+        F.format_string("https://h%d.example/p%d", F.col("c") % 8, F.col("k")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("k") * 60).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(sent1, F.lit(" "), sent2, filler).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
 def write_web_pages_parquet(path: str, n_pages: int = 200, seed: int = 42) -> int:
     """Materialize the generator to a parquet file via pyarrow (no Spark)."""
     import pyarrow as pa
