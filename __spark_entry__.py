@@ -458,10 +458,11 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table multiprobe LSH ANN (rows-only: bucket membership depends
-    on seeded random hyperplanes, not SQL-recomputable; recall >= 0.85 and
-    candidate pruning are pinned by tests/test_dedup_recall.py against the
-    oracle-green brute-force ann_topk)."""
+    """Multi-table multiprobe LSH ANN, VALUE-checked since round 4: the
+    hyperplanes are deterministic md5-keyed Rademacher vectors over
+    quantized integers, so the DuckDB twin (_lsh_ann_oracle) rebuilds the
+    identical buckets; recall >= 0.85 and candidate pruning remain pinned
+    by tests/test_dedup_recall.py against brute-force ann_topk."""
     embs = _t(spark, sf_dir, "embeddings")
     q = embs.filter(F.col("vec_id") < 5)
     c = embs.filter(F.col("vec_id") >= 5)
@@ -750,6 +751,51 @@ def _kg_closed_oracle() -> str:
     return page.replace("%%", "%")
 
 
+def _lsh_ann_oracle() -> str:
+    """SQL twin of dataops.lsh_bucketed_ann with the deterministic
+    Rademacher hyperplanes (component (p,i) = +1 iff first hex nibble of
+    md5('lshplane:p:i') < 8, signs over 1e-3-quantized integer vectors —
+    engine-exact): rebuild every (table, signature) bucket, expand the
+    query side by the 1-bit multiprobe, exact cosine rerank inside the
+    candidate union."""
+    nt, nb = dataops.N_LSH_TABLES, dataops.N_LSH_BITS
+    return f"""
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                   FROM embeddings),
+        dims AS (SELECT DISTINCT unnest(generate_series(0, len(qv) - 1)) AS i FROM v),
+        pl AS (SELECT p, list(s ORDER BY i) AS svec FROM (
+                   SELECT pr.range AS p, dims.i,
+                          CASE WHEN CAST(concat('0x', substr(md5('lshplane:' || pr.range::VARCHAR || ':' || dims.i::VARCHAR), 1, 1)) AS INT) < 8
+                               THEN 1 ELSE -1 END AS s
+                   FROM range({nt * nb}) pr, dims
+               ) GROUP BY p),
+        sig AS (SELECT vec_id, (p // {nb}) AS tbl,
+                       CAST(sum(CASE WHEN dot > 0 THEN (1 << (p % {nb})) ELSE 0 END) AS BIGINT) AS sig
+                FROM (SELECT v.vec_id, pl.p,
+                             CAST(list_sum(list_transform(generate_series(1, len(v.qv)), j -> v.qv[j] * pl.svec[j])) AS BIGINT) AS dot
+                      FROM v CROSS JOIN pl)
+                GROUP BY 1, 2),
+        qsig AS (SELECT q_id, tbl, unnest(probes) AS sig FROM (
+                     SELECT vec_id AS q_id, tbl,
+                            list_prepend(sig, list_transform(range({nb}), i -> xor(sig::UBIGINT, (1 << i)::UBIGINT)::BIGINT)) AS probes
+                     FROM sig WHERE vec_id < 5)),
+        csig AS (SELECT vec_id AS c_id, tbl, sig FROM sig WHERE vec_id >= 5),
+        cand AS (SELECT DISTINCT q_id, c_id FROM qsig JOIN csig USING (tbl, sig)),
+        n AS (SELECT vec_id, qv,
+                     sqrt(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS DOUBLE)) AS nrm
+              FROM v),
+        pairs AS (SELECT cand.q_id, cand.c_id,
+                         CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+                             / (q.nrm * c.nrm) AS cos
+                  FROM cand JOIN n q ON q.vec_id = cand.q_id
+                            JOIN n c ON c.vec_id = cand.c_id)
+        SELECT q_id, c_id, CAST(round(cos * 10000) AS BIGINT) AS cos_x10000, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM pairs)
+        WHERE rnk <= 10
+    """
+
+
 def _minhash_oracle() -> str:
     """SQL twin of dataops.minhash_neardup_pairs at threshold 0.5: the doc
     minhash base hash is DuckDB's md5_number_lower, the 64 derived
@@ -983,6 +1029,7 @@ _ORACLES: dict[str, str] = {
     "ann_cosine_topk": _ANN_BRUTE_SQL,
     # exhaustive-probe IVF == brute force by construction (see _ann_ivf_topk)
     "ann_ivf_topk": _ANN_BRUTE_SQL,
+    "ann_lsh_topk": _lsh_ann_oracle(),
     "dedup_embedding_cosine": """
         WITH v AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv

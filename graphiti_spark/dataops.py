@@ -599,6 +599,27 @@ N_LSH_BITS = 6
 N_PROBE_BITS = 1
 
 
+def _lsh_planes(n_planes: int, dim: int):
+    """Deterministic Rademacher hyperplanes: component (p, i) is +1 when
+    the first hex nibble of md5('lshplane:p:i') is < 8, else -1 — the
+    exact rule the DuckDB oracle twin recomputes (engine-exact signs over
+    integer-quantized vectors)."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                1 if int(hashlib.md5(f"lshplane:{p}:{i}".encode()).hexdigest()[0], 16) < 8 else -1
+                for i in range(dim)
+            ]
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    )
+
+
 def lsh_bucketed_ann(
     embs: DataFrame,
     queries: DataFrame,
@@ -627,14 +648,20 @@ def lsh_bucketed_ann(
     neighbors are barely above random alignment no LSH family can both
     recall and prune — that is a data property, not an index defect.
     The candidate index is n_tables rows per vector (the standard L-table
-    storage cost); queries are broadcast. Brute-force ann_topk above is
-    the oracle."""
+    storage cost); queries are broadcast.
+
+    Hyperplanes are DETERMINISTIC Rademacher (+-1) vectors keyed by md5
+    ('lshplane:<plane>:<dim>', sign = first hex nibble < 8) over the
+    1e-3-quantized vectors, so bucket membership is integer-exact and
+    SQL-recomputable — the driver's DuckDB twin rebuilds the identical
+    buckets and the entry is value-checked end-to-end, not rows-only.
+    Sign-random-projection only needs a symmetric component distribution,
+    so Rademacher planes keep the 1 - theta/pi agreement rate of gaussian
+    ones (recall re-pinned by tests/test_dedup_recall.py)."""
     import numpy as np
 
-    rng = np.random.RandomState(7)
-    first = embs.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"])
-    planes = rng.randn(n_tables * n_bits, dim)
+    dim = int(embs.select(F.size(vec_col).alias("d")).first()["d"])
+    planes = _lsh_planes(n_tables * n_bits, dim)
     weights = (1 << np.arange(n_bits)).astype(np.int64)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -642,7 +669,8 @@ def lsh_bucketed_ann(
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        signs = (mat @ planes.T) > 0  # (n, tables*bits)
+        q = (np.sign(mat) * np.floor(np.abs(mat) * 1000.0 + 0.5)).astype(np.int64)
+        signs = (q @ planes.T) > 0  # (n, tables*bits), exact int64 dots
         sigs = signs.reshape(len(vecs), n_tables, n_bits).astype(np.int64) @ weights
         return pd.Series(list(sigs))
 

@@ -69,6 +69,10 @@ with ThreadPoolExecutor(max_workers=3) as pool:
 sec = time.time() - t0
 n_triples = spark.read.parquet(os.path.join(out_dir, "edges")).count()
 shutil.rmtree(out_dir, ignore_errors=True)
+# diagnostic only (outside the measured window): per-stage wall seconds so
+# a campaign log shows WHICH stage scaling moved between parallelism levels
+stages = {m["stage"]: m["sec"] for m in res["metrics"]}
+print("WORKER_STAGES " + json.dumps({"cpus": cpus, "stages": stages}))
 print("WORKER_RESULT " + json.dumps({"cpus": cpus, "runs": [{"sec": sec, "triples": n_triples}]}))
 spark.stop()
 """

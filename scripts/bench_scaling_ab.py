@@ -39,6 +39,7 @@ from bench_scaling import WORKER, wait_for_quiet  # noqa: E402
 
 def one_run(cpus: int, pages: int, pages_dir: str, quiet: float | None) -> dict:
     import subprocess
+    import threading
 
     env = dict(os.environ)
     env.update(
@@ -51,8 +52,28 @@ def one_run(cpus: int, pages: int, pages_dir: str, quiet: float | None) -> dict:
     )
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", WORKER]
     load0 = wait_for_quiet(quiet) if quiet is not None else os.getloadavg()[0]
+    # in-run ambient monitor: an end-of-run loadavg misses an external burst
+    # that decays before the run finishes (observed: a 5-core burst inside
+    # an 8-core window passed the old gate while slowing the run 34%);
+    # sample DURING the run and report max(loadavg - own cores)
+    samples: list[float] = []
+    stop = threading.Event()
+
+    def _mon():
+        while not stop.wait(10):
+            samples.append(os.getloadavg()[0])
+
+    th = threading.Thread(target=_mon, daemon=True)
+    th.start()
     proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3000)
+    stop.set()
+    th.join(timeout=1)
     load1 = os.getloadavg()[0]
+    amb_max = round(max([0.0] + [s - cpus for s in samples]), 2)
+    stages = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("WORKER_STAGES "):
+            stages = json.loads(line[len("WORKER_STAGES "):])["stages"]
     for line in proc.stdout.splitlines():
         if line.startswith("WORKER_RESULT "):
             r = json.loads(line[len("WORKER_RESULT "):])["runs"][0]
@@ -62,6 +83,8 @@ def one_run(cpus: int, pages: int, pages_dir: str, quiet: float | None) -> dict:
                 "triples": r["triples"],
                 "load_before": round(load0, 2),
                 "load_after": round(load1, 2),
+                "amb_max": amb_max,
+                "stages": stages,
             }
     raise RuntimeError(
         f"worker local[{cpus}] failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
@@ -75,14 +98,14 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--quiet", type=float, default=1.5)
     ap.add_argument(
-        "--qualify-load",
+        "--qualify-amb",
         type=float,
-        default=None,
-        help="a pair QUALIFIES only if load_after at both levels is below "
-        "this (default: quiet + 4N + 1.0 — own load plus one ambient core)",
+        default=1.0,
+        help="a pair QUALIFIES only if the in-run ambient load (max loadavg "
+        "minus own pinned cores, sampled every 10s) stayed at or below this "
+        "at BOTH levels",
     )
     args = ap.parse_args()
-    qualify = args.qualify_load if args.qualify_load is not None else (4 * args.n + 1.0)
 
     import tempfile
 
@@ -93,10 +116,9 @@ def main() -> None:
         lo = one_run(args.n, args.pages, pages_dir, args.quiet)
         hi = one_run(args.n * 4, args.pages, pages_dir, args.quiet)
         eff = (lo["sec"] / hi["sec"]) / 4.0
-        qualifies = (
-            lo["load_after"] <= args.n + 1.0 + args.quiet
-            and hi["load_after"] <= qualify
-        )
+        # a pair qualifies only if NO external burst above ~1 ambient core
+        # was observed DURING either run (in-run monitor, not end-of-run)
+        qualifies = lo["amb_max"] <= args.qualify_amb and hi["amb_max"] <= args.qualify_amb
         pair = {"pair": i + 1, "lo": lo, "hi": hi, "eff": round(eff, 3), "qualifies": qualifies}
         pairs.append(pair)
         print("PAIR " + json.dumps(pair), flush=True)
