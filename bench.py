@@ -47,6 +47,10 @@ HEADLINE = [
     "repetition_scores",
     "bpe_token_count",
     "hash_split",
+    "url_dedup",
+    "line_dedup",
+    "ngram_decontam",
+    "pii_redact",
     "bm25_term_scores",
     "rrf_fusion",
     "graph_bfs",

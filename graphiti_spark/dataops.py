@@ -998,6 +998,199 @@ def token_stats(
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization + dedup (the first stage of every web-crawl pipeline:
+# the same page arrives under scheme/host-case, www., default-port,
+# tracking-param, fragment and trailing-slash variants)
+# ---------------------------------------------------------------------------
+
+
+def url_normalize(
+    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Canonicalize http(s) URLs with the standard crawl-dedup rules:
+    lowercase scheme+host, strip a leading `www.`, strip the scheme's
+    default port (:80 / :443), drop the fragment, drop `utm_*` tracking
+    params, sort the surviving query params, strip trailing slashes from
+    the path. Pure JVM regexp/array expressions (whole-stage codegen) with
+    a character-level DuckDB twin. Output: id, canonical_url."""
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, r"^([^:/?#]+)://", 1))
+    rem = F.regexp_replace(url, r"^[^:/?#]+://", "")
+    auth = F.lower(F.regexp_extract(rem, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(auth, r"^www\.", "")
+    host = F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).otherwise(host)
+    path = F.regexp_replace(F.regexp_extract(rem, r"^[^/?#]*([^?#]*)", 1), r"/+$", "")
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (F.length(x) > 0) & (x.substr(1, 4) != "utm_"),
+        )
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select(F.col(id_col).alias("id"), canonical.alias("canonical_url"))
+
+
+def url_dedup(
+    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Exact dedup by canonical URL: one hash groupBy on the canonical
+    string (uniform, skew-free — same shape as exact_dedup), keeping the
+    lowest id as the winner. Output: canonical_url, keep_id, n_dups."""
+    return (
+        url_normalize(_spread_small_input(docs), id_col, url_col)
+        .groupBy("canonical_url")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level exact line dedup (CCNet-style: boilerplate lines — navbars,
+# cookie banners, footers — repeat across millions of pages; keep each
+# distinct line's first occurrence in (doc, position) order)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide exact line dedup. A line is kept iff its (id, pos) is
+    the minimum over all occurrences of that exact line content in the
+    corpus (CCNet's per-shard dedup rule, made deterministic corpus-wide).
+
+    Shape at 100 TB: explode to (line, id, pos), groupBy line with a
+    min(struct) — partial-aggregatable, so the hot keys every corpus has
+    (empty line, 'Home', cookie-banner text) are combined map-side before
+    the shuffle — then one equi-join back on the line to mark winners.
+    Output per doc: id, n_lines, n_kept, kept_md5 (md5 of the kept lines
+    re-joined with \\n in original order — the cleaned-text fingerprint)."""
+    lines = (
+        _spread_small_input(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+    )
+    winners = lines.groupBy("line").agg(
+        F.min(F.struct("id", "pos")).alias("w")
+    )
+    marked = lines.join(winners, on="line").withColumn(
+        "kept", (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
+    )
+    return marked.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            )
+        ).alias("kept_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap between a train split and a
+# held-out test split — the standard pre-training hygiene check)
+# ---------------------------------------------------------------------------
+
+DECONTAM_NGRAM = 8
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag train documents sharing any word n-gram with any test document
+    (the GPT-3/PaLM-style 13-gram decontamination rule, here n=8 so the
+    synthetic corpus actually collides). Documents shorter than n tokens
+    contribute their whole token sequence as one gram (the minhash shingle
+    convention). The distinct-test-gram side is the small one by
+    construction (held-out splits are ~5% of the corpus) and is broadcast —
+    the train side streams through a map-side hash join with no shuffle of
+    the train grams. Output (sparse): id, n_hit_grams for hit docs only."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        t = df.select(F.col(id_col).alias("id"), toks.alias("w")).filter(
+            F.size("w") > 0
+        )
+        g = F.when(
+            F.size("w") < n, F.array(F.array_join(F.col("w"), " "))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.array_join(F.slice(F.col("w"), i, n), " "),
+            )
+        )
+        return t.select("id", F.explode(F.array_distinct(g)).alias("gram"))
+
+    test_grams = grams(test).select("gram").distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(test_grams), on="gram")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_hit_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (regex scrub — the compliance pass every
+# training-data pipeline runs before tokenization)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 dialect so the Spark plan and
+# the DuckDB oracle compile the same automaton: no lookaround, no
+# backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Count and redact emails / IPv4 addresses / US-style phone numbers.
+    Counts are measured on the ORIGINAL text per pattern (independent, so
+    the numbers are auditable); redaction is sequential email → ip → phone
+    (emails may contain digit runs, so they are replaced first). All
+    regexp_count/regexp_replace — JVM-side, no Python. Output: id,
+    n_emails, n_ipv4, n_phones, redacted_md5, redacted_len."""
+    text = F.col(text_col)
+    red = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(text, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(text, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal columns: opaque binary + typed metadata; decode is a stub
 # (image/audio libs absent in this container) but the Spark plumbing —
 # schema, batch iteration, partition-sized Arrow batches — is real.
@@ -1014,14 +1207,33 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+def _bmp_header(raw: bytes) -> tuple[int, int, int, int, int] | None:
+    """Parse a BITMAPFILEHEADER + BITMAPINFOHEADER (the public 54-byte BMP
+    layout): returns (width, height, bits_per_pixel, compression,
+    pixel_offset) or None if not a plausible BMP."""
+    if len(raw) < 54 or raw[:2] != b"BM":
+        return None
+    off = int.from_bytes(raw[10:14], "little")
+    width = int.from_bytes(raw[18:22], "little", signed=True)
+    height = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    comp = int.from_bytes(raw[30:34], "little")
+    if width <= 0 or height == 0 or off < 54:
+        return None
+    return width, height, bpp, comp, off
+
+
 def media_metadata(
     media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
 ) -> DataFrame:
     """Extract metadata from opaque binary columns via mapInPandas.
 
-    The decode step is a deterministic fake (header sniff on the first
-    bytes); a real deployment drops in PIL/ffmpeg here — the Spark-side
-    batch shape, schema and partitioning are what this function pins.
+    BMP dimensions are parsed for real from the BITMAPINFOHEADER (the
+    format is public and header-complete); JPEG/PNG are sniffed by magic
+    bytes only — their dimension parse needs the codec libraries absent in
+    this container, so width/height stay NULL for them (a deployment drops
+    PIL/ffmpeg into this same batch loop). The Spark-side batch shape,
+    schema and partitioning are what this function pins.
     """
 
     def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1031,15 +1243,18 @@ def media_metadata(
                 raw = bytes(blob) if blob is not None else b""
                 ids.append(mid)
                 sizes.append(len(raw))
+                width = height = None
                 if raw[:2] == b"\xff\xd8":
                     fmts.append("jpeg")
                 elif raw[:8] == b"\x89PNG\r\n\x1a\n":
                     fmts.append("png")
+                elif (hdr := _bmp_header(raw)) is not None:
+                    fmts.append("bmp")
+                    width, height = hdr[0], abs(hdr[1])
                 else:
                     fmts.append("unknown")
-                # deterministic fake decode: real impl uses PIL.Image.open
-                widths.append(None)
-                heights.append(None)
+                widths.append(width)
+                heights.append(height)
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -1055,9 +1270,80 @@ def media_metadata(
     )
 
 
-def decode_media(media: DataFrame, blob_col: str = "blob") -> DataFrame:
-    """Real decode requires PIL/torchaudio/ffmpeg — absent in this container."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "container; media_metadata() provides the tested Spark plumbing"
+def decode_media(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode image blobs to per-channel statistics — the feature-extract
+    stage of a multimodal curation pipeline (used for brightness filters,
+    monochrome detection, near-dup prefilters).
+
+    REAL decode for uncompressed 24-bit BMP (BI_RGB): the pixel array is
+    sliced out of the blob with numpy (bottom-up row order, rows padded to
+    4 bytes, BGR channel order — the public BMP layout), no image library
+    needed. JPEG/PNG require codecs absent in this container and come back
+    with decoded=false / NULL stats; a deployment adds PIL in this same
+    numpy loop. Output: media_id, decoded, width, height, mean_r_x100,
+    mean_g_x100, mean_b_x100 (integer-scaled, engine-exact)."""
+    import numpy as np
+
+    def _decode_one(raw: bytes):
+        hdr = _bmp_header(raw)
+        if hdr is None:
+            return None
+        width, height, bpp, comp, off = hdr
+        if bpp != 24 or comp != 0:
+            return None  # compressed / paletted BMPs need a codec table
+        h = abs(height)
+        stride = (width * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+        need = off + stride * h
+        if len(raw) < need:
+            return None
+        arr = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=off)
+        rows = arr.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+        if height > 0:
+            rows = rows[::-1]  # positive height = bottom-up storage
+        # BMP stores BGR
+        means = rows.reshape(-1, 3).mean(axis=0)
+        return (
+            width,
+            h,
+            int(round(float(means[2]) * 100)),
+            int(round(float(means[1]) * 100)),
+            int(round(float(means[0]) * 100)),
+        )
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "decoded": [], "width": [], "height": [],
+                "mean_r_x100": [], "mean_g_x100": [], "mean_b_x100": [],
+            }
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob) if blob is not None else b""
+                got = _decode_one(raw)
+                out["media_id"].append(mid)
+                out["decoded"].append(got is not None)
+                for key, val in zip(
+                    ("width", "height", "mean_r_x100", "mean_g_x100", "mean_b_x100"),
+                    got if got is not None else (None,) * 5,
+                ):
+                    out[key].append(val)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "decoded": out["decoded"],
+                    "width": pd.array(out["width"], dtype="Int64"),
+                    "height": pd.array(out["height"], dtype="Int64"),
+                    "mean_r_x100": pd.array(out["mean_r_x100"], dtype="Int64"),
+                    "mean_g_x100": pd.array(out["mean_g_x100"], dtype="Int64"),
+                    "mean_b_x100": pd.array(out["mean_b_x100"], dtype="Int64"),
+                }
+            )
+
+    return media.select(id_col, blob_col).mapInPandas(
+        _dec,
+        schema=(
+            "media_id long, decoded boolean, width long, height long, "
+            "mean_r_x100 long, mean_g_x100 long, mean_b_x100 long"
+        ),
     )

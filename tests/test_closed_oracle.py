@@ -85,3 +85,40 @@ def test_closed_entry_matches_duckdb_oracle(spark):
     orows = {tuple(r) for r in con.execute(E._kg_closed_oracle()).fetchall()}
     assert len(srows) == len(orows) > 500
     assert srows == orows
+
+
+def test_closed_nodes_are_exactly_edge_endpoints(closed_result):
+    """The kg_communities_closed oracle rebuilds the node set as the
+    distinct edge endpoints; the pipeline must not emit any canonical node
+    outside that set (every closed-form mention participates in a planted
+    triple), and norm_name must be unique per group (exact-only dedup) so
+    re-keying uuid -> norm_name is bijective."""
+    nodes = closed_result["nodes"].select("group_id", "norm_name")
+    edges = closed_result["edges"]
+    names = closed_result["nodes"].select(F.col("uuid").alias("nid"), "norm_name")
+    endpoints = (
+        edges.join(names.withColumnRenamed("nid", "source_node_uuid"), on="source_node_uuid")
+        .select("group_id", "norm_name")
+        .union(
+            edges.join(
+                names.withColumnRenamed("nid", "target_node_uuid"), on="target_node_uuid"
+            ).select("group_id", "norm_name")
+        )
+        .distinct()
+    )
+    n_nodes = nodes.distinct().count()
+    assert nodes.count() == n_nodes  # (group, norm_name) unique over canonical nodes
+    assert n_nodes == endpoints.count()
+    assert nodes.exceptAll(endpoints).count() == 0
+
+
+def test_closed_communities_match_duckdb_lpa(spark):
+    """The REAL label_propagation over the closed graph equals the
+    MAX_LPA_ROUNDS-unrolled SQL twin tuple-for-tuple."""
+    sdf = E._kg_communities_closed(spark, SF)
+    srows = {tuple(r) for r in sdf.collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    orows = {tuple(r) for r in con.execute(E._kg_communities_closed_oracle()).fetchall()}
+    assert len(srows) == len(orows) > 50
+    assert srows == orows

@@ -159,12 +159,42 @@ def test_token_stats(spark):
     assert rows[("en",)]["n_docs"] == 5
 
 
+def _make_bmp(pixels) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (top row first in `pixels`,
+    as (r, g, b) tuples): 54-byte header + bottom-up padded BGR rows."""
+    h = len(pixels)
+    w = len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(pixels):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        body += line + b"\x00" * (stride - len(line))
+    size = 54 + len(body)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body
+
+
 def test_media_metadata_plumbing(spark):
+    bmp = _make_bmp([[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (100, 110, 120)]])
     rows = [
         (1, bytes([0xFF, 0xD8]) + b"rest-of-jpeg"),
         (2, b"\x89PNG\r\n\x1a\n" + b"png-body"),
         (3, b"plain bytes"),
         (4, None),
+        (5, bmp),
     ]
     df = spark.createDataFrame(rows, schema="media_id long, blob binary")
     got = {r["media_id"]: r for r in D.media_metadata(df).collect()}
@@ -172,15 +202,27 @@ def test_media_metadata_plumbing(spark):
     assert got[2]["format"] == "png"
     assert got[3]["format"] == "unknown"
     assert got[4]["n_bytes"] == 0
+    # BMP dimensions parsed for real from the BITMAPINFOHEADER
+    assert got[5]["format"] == "bmp" and (got[5]["width"], got[5]["height"]) == (2, 2)
 
 
-def test_decode_media_is_stubbed(spark):
-    df = spark.createDataFrame([(1, b"x")], schema="media_id long, blob binary")
-    try:
-        D.decode_media(df)
-        raise AssertionError("expected NotImplementedError")
-    except NotImplementedError:
-        pass
+def test_decode_media_bmp(spark):
+    # 2x2: channel means r=(10+40+70+100)/4=55, g=65, b=75
+    img = _make_bmp([[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (100, 110, 120)]])
+    # 3x1 exercises row padding (3*3=9 bytes -> stride 12)
+    wide = _make_bmp([[(255, 0, 0), (0, 255, 0), (0, 0, 255)]])
+    rows = [(1, img), (2, wide), (3, b"\xff\xd8jpeg-needs-codec"), (4, None)]
+    df = spark.createDataFrame(rows, schema="media_id long, blob binary")
+    got = {r["media_id"]: r for r in D.decode_media(df).collect()}
+    assert got[1]["decoded"] and (got[1]["width"], got[1]["height"]) == (2, 2)
+    assert (got[1]["mean_r_x100"], got[1]["mean_g_x100"], got[1]["mean_b_x100"]) == (
+        5500, 6500, 7500,
+    )
+    assert got[2]["decoded"] and (got[2]["width"], got[2]["height"]) == (3, 1)
+    assert got[2]["mean_r_x100"] == got[2]["mean_g_x100"] == got[2]["mean_b_x100"] == 8500
+    # formats that need absent codec libs come back undecoded, not crashed
+    assert not got[3]["decoded"] and got[3]["width"] is None
+    assert not got[4]["decoded"]
 
 
 def test_lsh_bucketed_ann(spark):
@@ -304,3 +346,92 @@ def test_hash_split_guards(spark):
     for r in out.collect():
         want = "a" if r["bucket"] < 3000 else ("b" if r["bucket"] < 6000 else "c")
         assert r["split"] == want
+
+
+def test_url_normalize(spark):
+    cases = [
+        (0, "HtTpS://WWW.Example.COM:443/a/1/?utm_source=feed&id=1&r=1#sec",
+         "https://example.com/a/1?id=1&r=1"),
+        (1, "https://example.com/a/1?r=1&id=1",
+         "https://example.com/a/1?id=1&r=1"),          # param order sorted
+        (2, "http://example.com:80/x", "http://example.com/x"),
+        (3, "http://example.com:8080/x", "http://example.com:8080/x"),  # non-default kept
+        (4, "https://example.com/", "https://example.com"),
+        (5, "https://example.com/p?utm_campaign=x", "https://example.com/p"),
+        (6, "https://example.com/CaseSensitive/Path", "https://example.com/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], schema="doc_id long, url string")
+    got = {r["id"]: r["canonical_url"] for r in D.url_normalize(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_dedup(spark):
+    df = spark.createDataFrame(
+        [(0, "https://example.com/a"), (1, "HTTPS://EXAMPLE.COM/a/"),
+         (2, "https://www.example.com:443/a#f"), (3, "https://example.com/b")],
+        schema="doc_id long, url string",
+    )
+    rows = {r["canonical_url"]: (r["keep_id"], r["n_dups"]) for r in D.url_dedup(df).collect()}
+    assert rows["https://example.com/a"] == (0, 3)
+    assert rows["https://example.com/b"] == (3, 1)
+
+
+def test_line_dedup(spark):
+    df = spark.createDataFrame(
+        [(0, "header\nbody zero\nfooter"),
+         (1, "header\nbody one\nfooter"),
+         (2, "header\nbody zero\nunique two")],
+        schema="doc_id long, text string",
+    )
+    rows = {r["id"]: (r["n_lines"], r["n_kept"]) for r in D.line_dedup(df).collect()}
+    # doc0 keeps all 3 (first occurrence of header/body zero/footer)
+    assert rows[0] == (3, 3)
+    # doc1 keeps only "body one" (header+footer lost to doc0)
+    assert rows[1] == (3, 1)
+    # doc2 keeps only "unique two" (header lost to doc0 pos0, body zero to doc0)
+    assert rows[2] == (3, 1)
+    # kept_md5 = md5 of surviving lines joined in original order
+    from hashlib import md5 as _md5
+
+    got = {r["id"]: r["kept_md5"] for r in D.line_dedup(df).collect()}
+    assert got[0] == _md5(b"header\nbody zero\nfooter").hexdigest()
+    assert got[1] == _md5(b"body one").hexdigest()
+
+
+def test_ngram_decontaminate(spark):
+    shared = "one two three four five six seven eight"  # exactly one 8-gram
+    train = spark.createDataFrame(
+        [(0, f"prefix words {shared} suffix"), (1, "totally clean document here")],
+        schema="doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, f"other leading {shared} trailing bits")], schema="doc_id long, text string"
+    )
+    got = {r["id"]: r["n_hit_grams"] for r in D.ngram_decontaminate(train, test, n=8).collect()}
+    assert 0 in got and got[0] >= 1
+    assert 1 not in got
+    # short docs fall back to the whole-text gram
+    t2 = spark.createDataFrame([(2, "tiny doc")], schema="doc_id long, text string")
+    s2 = spark.createDataFrame([(11, "tiny doc")], schema="doc_id long, text string")
+    got2 = {r["id"]: r["n_hit_grams"] for r in D.ngram_decontaminate(t2, s2, n=8).collect()}
+    assert got2 == {2: 1}
+
+
+def test_pii_redact(spark):
+    df = spark.createDataFrame(
+        [(0, "mail bob.smith+x@corp.example.org and 10.1.2.3 or call 555-123-4567 ok"),
+         (1, "no pii here at all"),
+         (2, "two mails a@b.io c@d.net and ip 192.168.0.1 and 8.8.8.8")],
+        schema="doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in D.pii_redact(df).collect()}
+    assert (rows[0]["n_emails"], rows[0]["n_ipv4"], rows[0]["n_phones"]) == (1, 1, 1)
+    assert (rows[1]["n_emails"], rows[1]["n_ipv4"], rows[1]["n_phones"]) == (0, 0, 0)
+    assert (rows[2]["n_emails"], rows[2]["n_ipv4"], rows[2]["n_phones"]) == (2, 2, 0)
+    from hashlib import md5 as _md5
+
+    want0 = "mail <EMAIL> and <IP> or call <PHONE> ok"
+    assert rows[0]["redacted_md5"] == _md5(want0.encode()).hexdigest()
+    assert rows[0]["redacted_len"] == len(want0)
+    assert rows[1]["redacted_md5"] == _md5(b"no pii here at all").hexdigest()

@@ -99,3 +99,35 @@ def test_prefix_filter_join_is_equijoin_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_test_grams(spark):
+    """The decontamination join must broadcast the (small) distinct
+    test-gram side so the train grams stream through a map-side hash join
+    with no shuffle of the train side."""
+    from graphiti_spark import dataops as D
+
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " + str(i)) for i in range(20)],
+        schema="doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta tail")],
+        schema="doc_id long, text string",
+    )
+    plan = _plan(D.ngram_decontaminate(train, test, n=8))
+    assert "BroadcastHashJoin" in plan, "test-gram side must broadcast"
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_line_dedup_no_cartesian(spark):
+    """Winner marking is one equi-join on the line content (partial-agg
+    min absorbs hot-line skew map-side); no cartesian/BNL anywhere."""
+    from graphiti_spark import dataops as D
+
+    docs = spark.createDataFrame(
+        [(i, "header\nbody " + str(i)) for i in range(10)],
+        schema="doc_id long, text string",
+    )
+    plan = _plan(D.line_dedup(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
