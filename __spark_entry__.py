@@ -8,14 +8,17 @@ integer-scaled columns (x10000 / x1e6) and times as epoch microseconds so
 the driver's value-hash comparison is engine-exact (integer arithmetic and
 IEEE sqrt/div on identical inputs are bit-identical in Spark and DuckDB).
 
-Non-SQL-expressible entries (the seeded-randomness/blake2b legs: the
-datagen-driven kg_* trio, LSH-ANN, label propagation) omit the oracle;
-their semantics are pinned instead by tests/ (reference-ported kernels +
-the single-process reference-semantics oracle in graphiti_spark/oracle.py).
-The FULL pipeline is value-checked end-to-end anyway through
-kg_pipeline_edges_closed: the same run_pipeline over a closed-form page
-slice (datagen.closed_form_pages) whose fuzzy/cosine legs provably fire on
-zero pairs, with a DuckDB twin of extraction -> exact dedup -> T1 -> T6/T7.
+Non-SQL-expressible entries (the blake2b-minhash legs of the
+datagen-driven kg_* trio) omit the oracle; their semantics are pinned
+instead by tests/ (reference-ported kernels + the single-process
+reference-semantics oracle in graphiti_spark/oracle.py). The FULL
+pipeline is value-checked end-to-end anyway through the kg_*_closed
+entries: the same run_pipeline over a closed-form page slice
+(datagen.closed_form_pages) whose fuzzy/cosine legs provably fire on
+zero pairs, with DuckDB twins of extraction -> exact dedup -> T1 ->
+T6/T7 (kg_pipeline_edges_closed), its predicate aggregate
+(kg_top_predicates_closed), and the real label-propagation operator vs
+a MAX_LPA_ROUNDS-unrolled SQL twin (kg_communities_closed).
 """
 
 from __future__ import annotations
@@ -751,6 +754,31 @@ def _keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _episode_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the streaming monitor's aggregation,
+    streaming._windowed_counts_transform) on the events table, exact-
+    distinct mode so DuckDB can recompute it: per (user, 1h window) the
+    arrival count and distinct event types. Pins Spark's window bucketing
+    (aligned to the 1970 epoch) — the same bucketing the watermarked
+    streaming query uses."""
+    from graphiti_spark.streaming import _windowed_counts_transform
+
+    ev = _t(spark, sf_dir, "events")
+    eps = ev.select(
+        F.col("user_id").cast("string").alias("group_id"),
+        F.col("event_type").alias("uuid"),
+        F.col("ts").cast("timestamp").alias("valid_at"),
+    )
+    out = _windowed_counts_transform(eps, "1 hour", exact_distinct=True)
+    return out.select(
+        "group_id",
+        F.unix_micros("win_start").alias("win_start_us"),
+        F.unix_micros("win_end").alias("win_end_us"),
+        F.col("n_episodes").cast("long").alias("n_episodes"),
+        F.col("approx_uuids").cast("long").alias("n_types"),
+    )
+
+
 def _edge_hybrid_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 per-episode candidate generation (ref edge_operations.py:256-296)
     on events mapped into the edge schema: existing edges = all events
@@ -840,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _pii_redact,
         "bm25_term_scores": _bm25_term_scores,
         "rrf_fusion": _rrf_fusion,
+        "episode_window_counts": _episode_window_counts,
         "edge_hybrid_candidates": _edge_hybrid_candidates,
         "graph_bfs": _graph_bfs,
         "keyset_pagination": _keyset_pagination,
@@ -1456,6 +1485,21 @@ _ORACLES: dict[str, str] = {
                md5(red) AS redacted_md5,
                CAST(length(red) AS BIGINT) AS redacted_len
         FROM r
+    """,
+    # Spark's F.window tumbling buckets align to the 1970 epoch:
+    # win_start = floor(epoch_seconds / 3600) * 3600. NB DuckDB's epoch()
+    # returns DOUBLE (fractional seconds) and ::BIGINT ROUNDS — floor()
+    # explicitly or timestamps near the hour boundary shift a whole hour
+    "episode_window_counts": """
+        WITH w AS (SELECT user_id, event_type,
+                          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+                   FROM events)
+        SELECT CAST(user_id AS VARCHAR) AS group_id,
+               hr * 3600 * 1000000 AS win_start_us,
+               (hr + 1) * 3600 * 1000000 AS win_end_us,
+               count(*) AS n_episodes,
+               count(DISTINCT event_type) AS n_types
+        FROM w GROUP BY 1, 2, 3
     """,
     "bm25_term_scores": f"""
         WITH toks AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents),

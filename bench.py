@@ -51,6 +51,7 @@ HEADLINE = [
     "line_dedup",
     "ngram_decontam",
     "pii_redact",
+    "episode_window_counts",
     "bm25_term_scores",
     "rrf_fusion",
     "graph_bfs",

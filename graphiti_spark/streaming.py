@@ -165,3 +165,93 @@ def episode_context_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _windowed_counts_transform(episodes, window_duration: str, exact_distinct: bool = False):
+    """Shared tumbling-window aggregation used by the streaming query, its
+    batch twin, AND the episode_window_counts driver entry: episode arrival
+    counts + distinct-uuid counts per (group_id, event-time window).
+
+    exact_distinct=False (streaming): HLL approx_count_distinct — the
+    mergeable sketch streaming state needs; deterministic for fixed input
+    (register maxima are order/partition-independent). True (the driver
+    oracle): exact count(DISTINCT), which DuckDB recomputes."""
+    dcount = (
+        F.count_distinct("uuid") if exact_distinct else F.approx_count_distinct("uuid")
+    )
+    return (
+        episodes.groupBy("group_id", F.window("valid_at", window_duration))
+        .agg(
+            F.count("*").alias("n_episodes"),
+            dcount.alias("approx_uuids"),
+        )
+        .select(
+            "group_id",
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_episodes",
+            "approx_uuids",
+        )
+    )
+
+
+def windowed_episode_counts(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_location: str,
+    schema=None,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Watermarked tumbling-window episode rates — the standard Structured
+    Streaming shape for crawl-feed monitoring (episodes/group/window with
+    bounded tolerance for late pages).
+
+    `withWatermark(valid_at, watermark)` bounds the state store: a window
+    closes — and is emitted exactly once, append mode — when the event-time
+    watermark passes its end, so late pages within the tolerance still
+    count and later ones are dropped instead of growing state forever.
+    State is O(open windows x groups), independent of stream length.
+
+    The aggregation body is shared with `windowed_episode_counts_batch`
+    (the batch twin) so stream-vs-batch equality is testable: draining the
+    same pages through the stream (with a watermark-advancing sentinel)
+    yields the same closed windows the batch transform computes.
+    """
+    from graphiti_spark.pipeline import pages_to_episodes
+    from graphiti_spark.schemas import WEB_PAGES
+
+    reader = spark.readStream.schema(schema or WEB_PAGES).parquet(input_path)
+    episodes = pages_to_episodes(reader).select(
+        F.col("episode_uuid").alias("uuid"),
+        "group_id",
+        F.col("ep_valid_at").alias("valid_at"),
+    )
+    agg = _windowed_counts_transform(
+        episodes.withWatermark("valid_at", watermark), window_duration
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_episode_counts_batch(
+    pages, window_duration: str = "1 hour", exact_distinct: bool = False
+):
+    """Batch twin of windowed_episode_counts over a static pages frame."""
+    from graphiti_spark.pipeline import pages_to_episodes
+
+    episodes = pages_to_episodes(pages).select(
+        F.col("episode_uuid").alias("uuid"),
+        "group_id",
+        F.col("ep_valid_at").alias("valid_at"),
+    )
+    return _windowed_counts_transform(episodes, window_duration, exact_distinct)

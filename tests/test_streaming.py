@@ -220,3 +220,89 @@ def test_episode_context_stream_multigroup_soak(spark, tmp_path):
     # flat latency: the last batch may not blow past the noise band of the
     # first (state growth or per-row Python would show superlinear drift)
     assert batch_secs[-1] < 3.0 * max(batch_secs[0], 1.0), batch_secs
+
+
+def test_windowed_episode_counts_matches_batch_twin(spark, tmp_path):
+    """Watermarked tumbling windows: drain pages in two micro-batches with
+    a late-but-in-tolerance row, flush with a watermark-advancing sentinel,
+    and compare every closed window against the batch twin."""
+    from datetime import datetime, timezone
+
+    from graphiti_spark.datagen import generate_web_pages
+    from graphiti_spark.schemas import WEB_PAGES
+    from graphiti_spark.streaming import (
+        windowed_episode_counts,
+        windowed_episode_counts_batch,
+    )
+
+    rows = generate_web_pages(n_pages=80, seed=7)
+    mk = lambda rs: spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rs],
+        schema=WEB_PAGES,
+    )
+    in_dir = tmp_path / "win_in"
+    in_dir.mkdir()
+    out = str(tmp_path / "win_out")
+    ck = str(tmp_path / "win_ck")
+
+    def drain(label):
+        q = windowed_episode_counts(
+            spark, str(in_dir) + "/*", out, ck, watermark="2 hours", available_now=True
+        )
+        q.awaitTermination(300)
+
+    # split in EVENT-TIME order (datagen interleaves +30d re-crawls, so a
+    # positional split would let batch 1's re-crawls drag the watermark a
+    # month ahead and mass-drop batch 2). Hold back two rows from batch 1:
+    # late_ok = batch 1's max-ts row (window still open under the 2h
+    # watermark when it arrives in batch 2 -> counted), too_late = an early
+    # row (far beyond tolerance -> must be dropped)
+    from datetime import timedelta
+
+    rows_sorted = sorted(rows, key=lambda r: (r["warc_ts"], r["url"]))
+    too_late, late_ok = rows_sorted[5], rows_sorted[49]
+    first = [r for r in rows_sorted[:50] if r is not late_ok and r is not too_late]
+    b1_max = max(r["warc_ts"] for r in first)
+    assert too_late["warc_ts"] < b1_max - timedelta(hours=3), "precondition: beyond tolerance"
+    assert late_ok["warc_ts"] >= b1_max - timedelta(hours=2), "precondition: within tolerance"
+    mk(first).write.mode("overwrite").parquet(str(in_dir / "b1"))
+    drain("b1")
+
+    # batch 2: the (event-time-later) rest + both held-back rows
+    mk(rows_sorted[50:] + [late_ok, too_late]).write.mode("overwrite").parquet(
+        str(in_dir / "b2")
+    )
+    drain("b2")
+
+    # sentinel batch: advances the watermark past every real window so all
+    # of them close and emit (append mode)
+    sentinel = dict(rows[0])
+    sentinel["url"] = "https://h0.example/sentinel"
+    sentinel["warc_ts"] = datetime(2030, 1, 1, tzinfo=timezone.utc)
+    mk([sentinel]).write.mode("overwrite").parquet(str(in_dir / "b3"))
+    drain("b3")
+    sentinel2 = dict(sentinel)
+    sentinel2["url"] = "https://h0.example/sentinel2"
+    sentinel2["warc_ts"] = datetime(2030, 2, 1, tzinfo=timezone.utc)
+    mk([sentinel2]).write.mode("overwrite").parquet(str(in_dir / "b4"))
+    drain("b4")
+
+    got = {
+        (r["group_id"], r["win_start"], r["win_end"]): (r["n_episodes"], r["approx_uuids"])
+        for r in spark.read.parquet(out).collect()
+        if r["win_start"].year < 2030
+    }
+    # effective input after the watermark drop: everything except too_late
+    want_df = windowed_episode_counts_batch(mk([r for r in rows if r is not too_late]))
+    want = {
+        (r["group_id"], r["win_start"], r["win_end"]): (r["n_episodes"], r["approx_uuids"])
+        for r in want_df.collect()
+    }
+    assert set(got) == set(want)
+    assert got == want
+    # and the drop is real: the full-input twin disagrees on too_late's window
+    full = {
+        (r["group_id"], r["win_start"], r["win_end"]): (r["n_episodes"], r["approx_uuids"])
+        for r in windowed_episode_counts_batch(mk(rows)).collect()
+    }
+    assert got != full
