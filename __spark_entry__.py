@@ -587,6 +587,23 @@ def _hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sample over the language strata: keep 50%
+    of en, 100% of zh, 25% of fr, 10% of everything else — the nested
+    md5-bucket rule, so the oracle recomputes membership exactly."""
+    return dataops.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 0.5, "zh": 1.0, "fr": 0.25},
+        strata_col="lang",
+        salt="mix",
+        default_fraction=0.1,
+    )
+
+
+def _top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataops.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=50)
+
+
 def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic crawl-variant URLs from doc_id arithmetic: every ~7
     consecutive ids share one logical page, arriving under scheme-case /
@@ -862,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": _repetition_scores,
         "bpe_token_count": _bpe_token_count,
         "hash_split": _hash_split,
+        "stratified_sample": _stratified_sample,
+        "top_ngrams": _top_ngrams,
         "url_dedup": _url_dedup,
         "line_dedup": _line_dedup,
         "ngram_decontam": _ngram_decontam,
@@ -1395,6 +1414,35 @@ _ORACLES: dict[str, str] = {
                     WHEN bucket < 9500 THEN 'val'
                     ELSE 'test' END AS split
         FROM b
+    """,
+    # per-stratum keep iff bucket < fraction-in-basis-points; strata not
+    # named fall to the 10% default — same md5 bucket basis as hash_split
+    # (salt 'mix'), so samples at different fractions are nested
+    "stratified_sample": """
+        WITH b AS (SELECT doc_id AS id, lang AS stratum,
+                          CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'mix')), 1, 12)) AS BIGINT) % 10000 AS bucket
+                   FROM documents)
+        SELECT id, stratum, bucket
+        FROM b
+        WHERE bucket < CASE stratum WHEN 'en' THEN 5000
+                                    WHEN 'zh' THEN 10000
+                                    WHEN 'fr' THEN 2500
+                                    ELSE 1000 END
+    """,
+    # corpus 2-gram profile, top 50 by total occurrences, ties broken by
+    # gram text ascending (deterministic on any partitioning)
+    "top_ngrams": f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                                           i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS gram
+              FROM tok WHERE len(w) >= 2),
+        pd AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        SELECT gram, CAST(sum(c) AS BIGINT) AS n_occurrences,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pd GROUP BY gram
+        ORDER BY n_occurrences DESC, gram
+        LIMIT 50
     """,
     # GROUND-TRUTH canonical URLs recomputed from the doc_id arithmetic
     # directly (not a re-run of the normalization string algebra): any bug

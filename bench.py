@@ -47,6 +47,8 @@ HEADLINE = [
     "repetition_scores",
     "bpe_token_count",
     "hash_split",
+    "stratified_sample",
+    "top_ngrams",
     "url_dedup",
     "line_dedup",
     "ngram_decontam",

@@ -877,6 +877,96 @@ def hash_split(
     ).withColumn("split", expr)
 
 
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the data-mixing
+    primitive (up/down-weight domains or languages to a target
+    distribution, DoReMi/Pile-style). A row is kept iff its hash bucket
+    (first 48 bits of md5(id || salt) mod 10000) falls below its stratum's
+    keep-fraction in basis points; strata absent from `fractions` use
+    `default_fraction`.
+
+    Same determinism contract as hash_split: the SAME row survives on any
+    cluster, any partitioning, any engine — and because the bucket depends
+    only on the id, samples drawn at different fractions are NESTED
+    (fraction 0.1 ⊂ fraction 0.2), which makes scaling-law subsamples
+    comparable. The fraction map compiles to a literal CASE chain (no
+    join, no broadcast, stateless whole-stage codegen).
+    Output (kept rows only): id, stratum, bucket."""
+    frac_bp = {k: int(round(v * SPLIT_BUCKETS)) for k, v in fractions.items()}
+    for name, bp in frac_bp.items():
+        if not 0 <= bp <= SPLIT_BUCKETS:
+            raise ValueError(f"fraction for {name!r} outside [0, 1]")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(SPLIT_BUCKETS),
+    )
+    thresh = F.lit(int(round(default_fraction * SPLIT_BUCKETS)))
+    for name, bp in frac_bp.items():
+        thresh = F.when(F.col("stratum") == name, F.lit(bp)).otherwise(thresh)
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(strata_col).alias("stratum"),
+            bucket.alias("bucket"),
+        )
+        .filter(F.col("bucket") < thresh)
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level n-gram frequency profile: the k most frequent word
+    n-grams with total occurrence and document-frequency counts (the
+    corpus-analysis pass behind boilerplate discovery and contamination
+    triage). Ties broken by gram text ascending, so the result set is
+    deterministic on any partitioning.
+
+    Shape at 100 TB: per-(doc, gram) counts first — partial-aggregatable,
+    so hot grams ('of the', cookie-banner phrases) combine map-side before
+    the shuffle — then one global groupBy(gram) whose key space is already
+    collapsed per doc, and a TakeOrdered top-k (no full sort).
+    Output: gram, n_occurrences, n_docs."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    t = _spread_small_input(docs).select(F.col(id_col).alias("id"), toks.alias("w"))
+    grams = t.filter(F.size("w") >= n).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.array_join(F.slice(F.col("w"), i, n), " "),
+            )
+        ).alias("gram"),
+    )
+    per_doc = grams.groupBy("id", "gram").agg(F.count("*").alias("c"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
+
+
 def repetition_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

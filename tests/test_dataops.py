@@ -435,3 +435,54 @@ def test_pii_redact(spark):
     assert rows[0]["redacted_md5"] == _md5(want0.encode()).hexdigest()
     assert rows[0]["redacted_len"] == len(want0)
     assert rows[1]["redacted_md5"] == _md5(b"no pii here at all").hexdigest()
+
+
+def test_stratified_sample(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", ["en", "de", "zh"][i % 3]) for i in range(300)],
+        schema="doc_id long, text string, lang string",
+    )
+    fr = {"en": 0.5, "zh": 1.0}
+    out = {r["id"]: (r["stratum"], r["bucket"]) for r in
+           D.stratified_sample(df, fr, strata_col="lang", salt="m",
+                               default_fraction=0.1).collect()}
+    for i in range(300):
+        lang = ["en", "de", "zh"][i % 3]
+        b = int(hashlib.md5(f"{i}m".encode()).hexdigest()[:12], 16) % 10000
+        kept = b < {"en": 5000, "zh": 10000}.get(lang, 1000)
+        assert (i in out) == kept, i
+        if kept:
+            assert out[i] == (lang, b)
+    # nesting: a 0.2 en-sample is a subset of a 0.5 en-sample
+    small = {r["id"] for r in
+             D.stratified_sample(df, {"en": 0.2}, strata_col="lang", salt="m").collect()}
+    big = {r["id"] for r in
+           D.stratified_sample(df, {"en": 0.5}, strata_col="lang", salt="m").collect()}
+    assert small <= big and small
+    # out-of-range fraction rejected
+    try:
+        D.stratified_sample(df, {"en": 1.5})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_top_ngrams(spark):
+    from collections import Counter
+
+    df = _docs(spark)
+    got = [(r["gram"], r["n_occurrences"], r["n_docs"])
+           for r in D.top_ngrams(df, n=2, k=5).collect()]
+    # python oracle over the same corpus
+    occ, docs = Counter(), Counter()
+    for _, text, _ in DOCS:
+        w = text.split()
+        grams = [" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
+        occ.update(grams)
+        docs.update(set(grams))
+    want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == [(g, n, docs[g]) for g, n in want]
+    # rows come back ordered and capped at k
+    assert len(got) == 5
