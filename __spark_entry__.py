@@ -848,6 +848,31 @@ def _edge_hybrid_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means (k=8, 2 update rounds)
+    over the embeddings table; every arithmetic step is integer-exact
+    (quantized vectors, floor(sum/count) centroids), so the unrolled
+    DuckDB twin must reproduce the assignment bit-for-bit."""
+    return dataops.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, rounds=2)
+
+
+def _unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataops.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fuzzy-dedup answer (minhash pairs -> connected components
+    -> min-id canonical) for every document; booleans projected to long
+    for engine-neutral value hashing."""
+    out = dataops.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return out.select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        F.col("is_canonical").cast("long").alias("is_canonical"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pipeline_edges": _kg_pipeline_edges,
@@ -881,6 +906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _hash_split,
         "stratified_sample": _stratified_sample,
         "top_ngrams": _top_ngrams,
+        "kmeans_clusters": _kmeans_clusters,
+        "unigram_surprisal": _unigram_surprisal,
+        "dedup_cluster_canonical": _dedup_cluster_canonical,
         "url_dedup": _url_dedup,
         "line_dedup": _line_dedup,
         "ngram_decontam": _ngram_decontam,
@@ -1199,6 +1227,90 @@ _ANN_BRUTE_SQL = """
     WHERE rnk <= 10
 """
 
+def _kmeans_oracle(k: int = 8, rounds: int = 2) -> str:
+    """Unrolled SQL twin of dataops.kmeans_assign(k, rounds): quantized
+    integer vectors, first-k-ids init, argmin-with-lower-cluster-ties
+    assignment, floor(sum/count) centroid update (empty clusters keep
+    their previous centroid via the LEFT JOIN coalesce), final assignment
+    against the round-`rounds` centroids. MATERIALIZED round CTEs stop
+    DuckDB from inlining the chain 2^rounds times (same trick as the
+    kg_communities_closed LPA twin)."""
+    dist = (
+        "CAST(list_sum(list_transform(generate_series(1, len(v.qv)), "
+        "i -> (v.qv[i]-c.cv[i])*(v.qv[i]-c.cv[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""v AS MATERIALIZED (SELECT vec_id,
+              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+            FROM embeddings),
+        c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cl, qv AS cv
+               FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS (SELECT v.vec_id, v.qv, c.cl, {dist} AS d
+                 FROM v CROSS JOIN c{r - 1} c),
+        a{r} AS MATERIALIZED (SELECT vec_id, qv, cl FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM p{r})
+                 WHERE rn = 1),
+        u{r} AS (SELECT cl, pos, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cv_i
+                 FROM (SELECT cl, unnest(qv) AS val, unnest(range(1, len(qv) + 1)) AS pos FROM a{r})
+                 GROUP BY cl, pos),
+        c{r} AS MATERIALIZED (SELECT c.cl, coalesce(n.cv, c.cv) AS cv
+                 FROM c{r - 1} c LEFT JOIN
+                      (SELECT cl, list(cv_i ORDER BY pos) AS cv FROM u{r} GROUP BY cl) n
+                      USING (cl))"""
+        )
+    parts.append(
+        f"""pf AS (SELECT v.vec_id, c.cl, {dist} AS d
+                 FROM v CROSS JOIN c{rounds} c)"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + """
+        SELECT vec_id, cl AS cluster, d AS dist_sq FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM pf)
+        WHERE rn = 1
+    """
+    )
+
+
+def _dedup_cluster_oracle() -> str:
+    """SQL twin of dataops.dedup_clusters(threshold=0.5): the minhash pair
+    oracle verbatim as a subquery, symmetric closure by recursive CTE
+    (UNION dedups, so the walk terminates), canonical = min reachable id
+    vs self, singletons map to themselves, cluster sizes over the full
+    corpus."""
+    return f"""
+        WITH RECURSIVE mh AS MATERIALIZED (
+            {_minhash_oracle()}
+        ),
+        sym AS (
+            SELECT a_id AS s, b_id AS d FROM mh
+            UNION
+            SELECT b_id, a_id FROM mh
+        ),
+        r(s, d) AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, e.d FROM r JOIN sym e ON r.d = e.s
+        ),
+        reach_min AS (SELECT s AS doc_id, min(d) AS m FROM r GROUP BY s),
+        map AS (SELECT doc_id,
+                       CASE WHEN m < doc_id THEN m ELSE doc_id END AS canonical_id
+                FROM reach_min),
+        asg AS (SELECT a.doc_id, coalesce(map.canonical_id, a.doc_id) AS canonical_id
+                FROM (SELECT DISTINCT doc_id FROM documents) a
+                LEFT JOIN map USING (doc_id)),
+        sz AS (SELECT canonical_id, count(*)::BIGINT AS cluster_size
+               FROM asg GROUP BY 1)
+        SELECT asg.doc_id, asg.canonical_id, sz.cluster_size,
+               (asg.doc_id = asg.canonical_id)::BIGINT AS is_canonical
+        FROM asg JOIN sz USING (canonical_id)
+    """
+
+
 _ORACLES: dict[str, str] = {
     "prev_episodes_topk": """
         WITH e AS (SELECT CAST(event_id AS VARCHAR) AS uuid,
@@ -1444,6 +1556,23 @@ _ORACLES: dict[str, str] = {
         ORDER BY n_occurrences DESC, gram
         LIMIT 50
     """,
+    "kmeans_clusters": _kmeans_oracle(k=8, rounds=2),
+    "unigram_surprisal": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        dt AS (SELECT doc_id, tok, count(*) AS k FROM tok GROUP BY 1, 2),
+        vocab AS (SELECT tok, CAST(sum(k) AS BIGINT) AS cnt FROM dt GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+        pd AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+                      CAST(sum(k * (length(bin(n_total)) - length(bin(cnt)))) AS BIGINT)
+                          AS surprisal_bits
+               FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+               GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+               coalesce(pd.surprisal_bits, 0) AS surprisal_bits
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN pd USING (doc_id)
+    """,
+    "dedup_cluster_canonical": _dedup_cluster_oracle(),
     # GROUND-TRUTH canonical URLs recomputed from the doc_id arithmetic
     # directly (not a re-run of the normalization string algebra): any bug
     # in scheme/host/port/utm/sort/slash/fragment handling breaks the hash

@@ -49,6 +49,9 @@ HEADLINE = [
     "hash_split",
     "stratified_sample",
     "top_ngrams",
+    "kmeans_clusters",
+    "unigram_surprisal",
+    "dedup_cluster_canonical",
     "url_dedup",
     "line_dedup",
     "ngram_decontam",

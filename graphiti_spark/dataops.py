@@ -25,6 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -1436,4 +1437,216 @@ def decode_media(
             "media_id long, decoded boolean, width long, height long, "
             "mean_r_x100 long, mean_g_x100 long, mean_b_x100 long"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means over embeddings (document clustering for corpus
+# curation / topic balancing — the standard pre-training "cluster then
+# rebalance" step, e.g. the SemDeDup / DSIR-style pipelines)
+# ---------------------------------------------------------------------------
+
+
+def _quantized_vec(vec_col: str):
+    """float vector -> integer-quantized (x1000) long vector; the shared
+    house rule that keeps vector arithmetic bit-exact across engines."""
+    return F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+
+
+def _kmeans_assign_once(v: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """One Lloyd assignment against literal centroids: per-row argmin of
+    integer squared distance, ties to the lower cluster id. The centroid
+    set rides into the plan as k x dim literals (broadcast by codegen,
+    no join, no shuffle); distance is zip_with + aggregate entirely
+    inside whole-stage codegen."""
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(int(x)).cast("long") for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist_sq"),
+            F.lit(i).cast("long").alias("cluster"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    best = F.array_min(F.array(*dists))
+    return v.select(
+        "vec_id", "qv", best["cluster"].alias("cluster"), best["dist_sq"].alias("dist_sq")
+    )
+
+
+def kmeans_assign(
+    embs: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means over an embedding column.
+
+    Semantics (all integer-exact, so a DuckDB twin can replay them):
+      - vectors quantized to longs (x1000);
+      - init: the k vectors with the smallest ids, cluster id = rank;
+      - `rounds` update iterations: assign = argmin squared distance
+        (ties to the lower cluster id), new centroid = floor(sum/count)
+        per coordinate; a cluster that loses every member keeps its
+        previous centroid;
+      - output: the final assignment (vec_id, cluster, dist_sq).
+
+    100 TB posture: assignment is map-side only (centroids are plan
+    literals — k*dim longs, broadcast for free); each update is ONE
+    map-side-combinable groupBy producing k*dim rows; the only driver
+    traffic is k*dim aggregated longs per round plus the k init rows.
+    No corpus-sized collect, no per-row Python. k and dim scale to
+    thousands before the literal-plan approach needs a broadcast-join
+    variant."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = embs.select(F.col(id_col).alias("vec_id"), _quantized_vec(vec_col).alias("qv"))
+    init = v.orderBy("vec_id").limit(k).collect()  # bounded: k rows
+    cents: list[list[int]] = [list(r["qv"]) for r in init]
+    dim = len(cents[0])
+    for _ in range(rounds):
+        assigned = _kmeans_assign_once(v, cents)
+        stats = (
+            assigned.select("cluster", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()  # bounded: k x dim aggregated rows
+        )
+        by_cl: dict[int, dict[int, int]] = {}
+        for r in stats:
+            # floor of the double quotient — identical IEEE division and
+            # floor in Spark/DuckDB/Python, so the twin replays it exactly
+            by_cl.setdefault(r["cluster"], {})[r["pos"]] = math.floor(r["s"] / r["c"])
+        cents = [
+            [by_cl[cl][p] for p in range(dim)] if cl in by_cl else cents[cl]
+            for cl in range(len(cents))
+        ]
+    return _kmeans_assign_once(v, cents).select("vec_id", "cluster", "dist_sq")
+
+
+# ---------------------------------------------------------------------------
+# corpus unigram-LM surprisal (CCNet-style LM quality scoring, with the
+# n-gram LM replaced by the corpus's own unigram distribution; integer
+# log2 via binary-representation length keeps it engine-exact)
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document surprisal under the corpus unigram LM, in whole bits.
+
+    For token t with corpus count c_t in a corpus of N total tokens, the
+    per-token surprisal is floor(log2 N) - floor(log2 c_t) bits, computed
+    as length(bin(N)) - length(bin(c_t)) — pure integer arithmetic, no
+    libm, so the DuckDB twin reproduces it bit-for-bit. A document's
+    score is the sum over its token OCCURRENCES (repeats count).
+
+    Output: doc_id, n_tokens, surprisal_bits (docs with no tokens score
+    0/0). High mean surprisal = rare-vocabulary text (gibberish or
+    genuinely novel); low = boilerplate. This is the integer skeleton of
+    the CCNet perplexity filter.
+
+    100 TB posture: per-doc token counts first (map-side combinable), so
+    the vocab join moves one row per DISTINCT (doc, token), not one per
+    occurrence; the vocab join key is Zipf-skewed ("the") — AQE skew-join
+    splits the hot partitions, and the N-total side is a 1-row broadcast."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")).alias(
+            "tok"
+        ),
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("k").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    per_doc = (
+        doc_tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("k")
+                * (F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt"))))
+            )
+            .cast("long")
+            .alias("surprisal_bits"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("surprisal_bits", F.lit(0)).cast("long").alias("surprisal_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end fuzzy-dedup canonicalization: minhash-LSH pairs -> undirected
+# connected components -> min-id canonical per cluster (the full "which
+# row do we keep" answer, not just the candidate pair list)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy-dedup cluster map over the whole corpus.
+
+    Composition: minhash_neardup_pairs (md5-based, SQL-recomputable) ->
+    connected_components (scale-adaptive min-label propagation; doc ids
+    zero-padded to 19 digits so string min == numeric min) -> every doc
+    mapped to its cluster's minimum doc id (itself when unduplicated).
+
+    Output: doc_id, canonical_id, cluster_size, is_canonical — one row
+    per input document.
+
+    100 TB posture: inherits the LSH bucket cap from the pair stage; CC
+    rounds are O(cluster diameter) ≈ 2-4 for dup chains; the cluster-size
+    join shuffles on canonical_id whose fan-in is bounded by the largest
+    dup cluster (itself bounded by cap * bands in pathological corpora)."""
+    pairs = minhash_neardup_pairs(
+        docs, threshold=threshold, id_col=id_col, text_col=text_col
+    )
+    from graphiti_spark.operators.connected_components import connected_components
+
+    spairs = pairs.select(
+        F.format_string("%019d", F.col("a_id")).alias("a"),
+        F.format_string("%019d", F.col("b_id")).alias("b"),
+    )
+    mapping = connected_components(spairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("canonical").cast("long").alias("canonical_id"),
+    )
+    assigned = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(mapping, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id")
+        )
+    )
+    sizes = assigned.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return assigned.join(sizes, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
     )

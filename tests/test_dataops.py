@@ -486,3 +486,81 @@ def test_top_ngrams(spark):
     assert got == [(g, n, docs[g]) for g, n in want]
     # rows come back ordered and capped at k
     assert len(got) == 5
+
+
+def test_kmeans_assign_vs_numpy(spark):
+    # replay the exact integer Lloyd semantics in numpy and require an
+    # identical assignment (quantize x1000, first-k init, argmin with
+    # lower-cluster ties, floor(sum/count) update, empty keeps previous)
+    rng = np.random.RandomState(7)
+    vecs = np.round(rng.randn(40, 6), 3).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        schema="vec_id long, embedding array<float>",
+    )
+    k, rounds = 4, 2
+    qv = np.round(vecs * 1000).astype(np.int64)
+    cents = qv[:k].copy()
+    for _ in range(rounds):
+        d = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes the first (lowest) index on ties
+        for c in range(k):
+            members = qv[assign == c]
+            if len(members):
+                cents[c] = np.floor(members.sum(axis=0) / len(members)).astype(np.int64)
+    d = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = {(i, int(d[i].argmin()), int(d[i].min())) for i in range(len(qv))}
+    got = {
+        (r["vec_id"], r["cluster"], r["dist_sq"])
+        for r in D.kmeans_assign(df, k=k, rounds=rounds).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # seeds 1 and 2 are identical ([0.001, 0]): round-1 ties drain every
+    # member to the lower cluster id, so cluster 2 is EMPTY after round 1
+    # and must keep its previous centroid. Cluster 1's centroid then moves
+    # toward the far group, so in round 2 the near duplicates fall back to
+    # the surviving empty-cluster centroid — cluster 2 reappears in the
+    # final assignment only if the keep-previous rule worked.
+    pts = [[0.0, 0.0], [0.001, 0.0], [0.001, 0.0], [5.0, 5.0], [5.001, 5.0]]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)], schema="vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r["cluster"] for r in D.kmeans_assign(df, k=3, rounds=2).collect()}
+    assert out[0] == 0
+    assert out[1] == out[2] == 2  # proof the emptied centroid survived
+    assert out[3] == out[4] == 1
+    assert set(out.values()) == {0, 1, 2}
+
+
+def test_unigram_surprisal(spark):
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "   "), (3, "a")],
+        schema="doc_id long, text string",
+    )
+    # corpus counts: a=3, b=2, c=1, N=6 -> bits(t) = len(bin 6) - len(bin c)
+    # = 3 - {2,2,1} = {a:1, b:1, c:2}
+    got = {r["doc_id"]: (r["n_tokens"], r["surprisal_bits"])
+           for r in D.unigram_surprisal(df).collect()}
+    assert got[0] == (3, 3)   # a a b -> 1+1+1
+    assert got[1] == (2, 3)   # b c -> 1+2
+    assert got[2] == (0, 0)   # whitespace-only doc still present
+    assert got[3] == (1, 1)
+
+
+def test_dedup_clusters(spark):
+    docs = _docs(spark)
+    out = {r["doc_id"]: (r["canonical_id"], r["cluster_size"], r["is_canonical"])
+           for r in D.dedup_clusters(docs, threshold=0.5).collect()}
+    assert len(out) == len(DOCS)  # every doc exactly once
+    # doc 1 is an exact dup of doc 0 -> same cluster, canonical 0
+    assert out[1][0] == 0 and out[0][0] == 0
+    assert out[0][2] is True and out[1][2] is False
+    assert out[0][1] == out[1][1] >= 2
+    # the german doc shares no shingles with anything
+    assert out[4] == (4, 1, True)
+    # cluster sizes account for the whole corpus
+    canon_sizes = {c: s for (c, s, k) in out.values() if k}
+    assert sum(canon_sizes.values()) == len(DOCS)
