@@ -873,6 +873,89 @@ def _dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time KG snapshot — the bitemporal query the reference's
+    valid-edge filters answer (edges.py:368 get_between_nodes, search
+    validity gates): run the T6/T7 invalidation algebra, then keep the
+    edges that were TRUE at time T: valid_at <= T < coalesce(invalid_at,
+    +inf), and not tombstoned before T (expired_at here is the processing
+    timestamp `now`, which is > T for any historical T — kept in the
+    filter for contract completeness). Pure column predicates on the
+    partitioned edge table — at scale this prunes to the valid_at range
+    via partition/file skipping before the scan."""
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_orderkey").cast("string").alias("uuid"),
+        F.lit("orders").alias("group_id"),
+        F.col("o_custkey").cast("string").alias("source_node_uuid"),
+        F.lit("HAS_STATUS").alias("name"),
+        F.col("o_orderstatus").alias("target_node_uuid"),
+        F.col("o_orderdate").cast("timestamp").alias("valid_at"),
+        F.lit(None).cast("timestamp").alias("invalid_at"),
+    )
+    out = invalidate_contradictions(edges, _FIXED_NOW)
+    t = F.lit("1995-06-01 00:00:00").cast("timestamp")
+    snap = out.filter(
+        (F.col("valid_at") <= t)
+        & (F.col("invalid_at").isNull() | (F.col("invalid_at") > t))
+        & (F.col("expired_at").isNull() | (F.col("expired_at") > t))
+    )
+    return snap.select(
+        F.col("uuid").alias("edge_uuid"),
+        F.col("source_node_uuid").alias("subj"),
+        F.col("target_node_uuid").alias("obj"),
+        F.unix_micros("valid_at").alias("valid_us"),
+        F.unix_micros("invalid_at").alias("invalid_us"),
+    )
+
+
+def _semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup: integer k-means partition, then
+    exact within-cluster cosine pairs — the clustering bounds the
+    quadratic; the DuckDB twin composes the unrolled k-means oracle with
+    a same-cluster cross join."""
+    return dataops.semantic_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), k=8, rounds=2, threshold=0.3
+    )
+
+
+def _host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (CC curation: bound any one domain's share):
+    keep the top-3 docs per source by (n_chars DESC, doc_id); the
+    partition-local prefilter phase is lossless, so the twin is a single
+    window."""
+    return dataops.host_cap(
+        _t(spark, sf_dir, "documents"), per_host=3, host_col="source"
+    )
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing into 512-token budgets
+    over 8 md5 shards; the twin replays the greedy boundaries with a
+    recursive CTE over the per-shard token cumsum."""
+    return dataops.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=512, n_shards=8
+    )
+
+
+def _pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round integer PageRank over the region->nation->customer
+    tree (the same edge set as graph_bfs); all-integer update rule, so
+    the unrolled SQL twin reproduces every rank exactly."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    edges = n.select(
+        F.format_string("r%01d", F.col("n_regionkey")).alias("src"),
+        F.format_string("n%02d", F.col("n_nationkey")).alias("dst"),
+    ).union(
+        c.select(
+            F.format_string("n%02d", F.col("c_nationkey")).alias("src"),
+            F.format_string("c%07d", F.col("c_custkey")).alias("dst"),
+        )
+    )
+    return dataops.pagerank(edges, rounds=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pipeline_edges": _kg_pipeline_edges,
@@ -909,6 +992,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "unigram_surprisal": _unigram_surprisal,
         "dedup_cluster_canonical": _dedup_cluster_canonical,
+        "graph_snapshot_at": _graph_snapshot_at,
+        "semantic_dedup_pairs": _semantic_dedup_pairs,
+        "host_cap": _host_cap,
+        "pack_sequences": _pack_sequences,
+        "pagerank_graph": _pagerank_graph,
         "url_dedup": _url_dedup,
         "line_dedup": _line_dedup,
         "ngram_decontam": _ngram_decontam,
@@ -1311,6 +1399,101 @@ def _dedup_cluster_oracle() -> str:
     """
 
 
+def _semantic_dedup_oracle(threshold: float = 0.5) -> str:
+    """Twin of dataops.semantic_neardup_pairs(k=8, rounds=2, threshold):
+    the unrolled k-means oracle as a materialized CTE, then exact cosine
+    over same-cluster pairs (a < b) with the x10000 floor(+0.5) rounding
+    the numpy side uses."""
+    return f"""
+        WITH km AS MATERIALIZED (
+            {_kmeans_oracle(k=8, rounds=2)}
+        ),
+        v AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+        n AS (SELECT v.vec_id, v.qv, km.cluster,
+                     sqrt(CAST(list_sum(list_transform(generate_series(1, len(v.qv)), i -> v.qv[i] * v.qv[i])) AS DOUBLE)) AS nrm
+              FROM v JOIN km USING (vec_id))
+        SELECT a_id, b_id, cluster, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10000 FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cluster,
+                   CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                       / (a.nrm * b.nrm) AS cos
+            FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+        WHERE cos >= {threshold}
+    """
+
+
+def _pack_sequences_oracle(budget: int = 512, n_shards: int = 8) -> str:
+    """Twin of dataops.pack_sequences: md5 sharding (hash_split bucket
+    rule), per-shard token cumsum, greedy sequence boundaries replayed by
+    a recursive CTE that walks next-start = last-fitting-row + 1 (an
+    oversized doc still packs alone via the coalesce-to-start)."""
+    return f"""
+        WITH RECURSIVE t0 AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % {n_shards} AS shard,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents),
+        t AS MATERIALIZED (
+            SELECT doc_id, shard, n_tokens,
+                   row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t0),
+        nxt AS MATERIALIZED (
+            SELECT s.shard, s.rn AS s_rn, coalesce(max(e.rn), s.rn) AS e_rn
+            FROM t s LEFT JOIN t e
+              ON e.shard = s.shard AND e.rn >= s.rn
+             AND e.cum <= (s.cum - s.n_tokens) + {budget}
+            GROUP BY s.shard, s.rn),
+        sz AS (SELECT shard, max(rn) AS mx FROM t GROUP BY shard),
+        seqs(shard, start_rn, seq_id) AS (
+            SELECT shard, 1, 0 FROM sz
+            UNION ALL
+            SELECT s.shard, n.e_rn + 1, s.seq_id + 1
+            FROM seqs s
+                 JOIN nxt n ON n.shard = s.shard AND n.s_rn = s.start_rn
+                 JOIN sz ON sz.shard = s.shard
+            WHERE n.e_rn + 1 <= sz.mx)
+        SELECT t.doc_id, t.shard, CAST(max(s.seq_id) AS BIGINT) AS seq_id, t.n_tokens
+        FROM t JOIN seqs s ON s.shard = t.shard AND s.start_rn <= t.rn
+        GROUP BY t.doc_id, t.shard, t.n_tokens
+    """
+
+
+def _pagerank_oracle(rounds: int = 3) -> str:
+    """Twin of dataops.pagerank over the region->nation->customer edges:
+    integer ranks x1e6, contribution = pr // outdeg, update =
+    150000 + (85 * inc) // 100, dangling mass dropped — `//` on
+    non-negative BIGINTs floors exactly like Spark's DIV."""
+    parts = [
+        """e AS MATERIALIZED (
+            SELECT printf('r%01d', n_regionkey) AS src, printf('n%02d', n_nationkey) AS dst FROM nation
+            UNION ALL
+            SELECT printf('n%02d', c_nationkey), printf('c%07d', c_custkey) FROM customer),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+            SELECT n.id, CAST(150000 + (85 * coalesce(c.inc, 0)) // 100 AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, sum(r.pr // od.outdeg) AS inc
+                FROM e JOIN r{r - 1} r ON e.src = r.id JOIN od ON e.src = od.src
+                GROUP BY e.dst) c ON n.id = c.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT id, pr AS rank_x1e6 FROM r{rounds}
+    """
+    )
+
+
 _ORACLES: dict[str, str] = {
     "prev_episodes_topk": """
         WITH e AS (SELECT CAST(event_id AS VARCHAR) AS uuid,
@@ -1573,6 +1756,32 @@ _ORACLES: dict[str, str] = {
         LEFT JOIN pd USING (doc_id)
     """,
     "dedup_cluster_canonical": _dedup_cluster_oracle(),
+    "graph_snapshot_at": """
+        WITH inv AS (
+            SELECT CAST(e.o_orderkey AS VARCHAR) AS edge_uuid,
+                   CAST(e.o_custkey AS VARCHAR) AS subj,
+                   e.o_orderstatus AS obj,
+                   epoch_us(e.o_orderdate) AS valid_us,
+                   epoch_us(min(CASE WHEN c.o_orderstatus <> e.o_orderstatus
+                                      AND c.o_orderdate > e.o_orderdate
+                                     THEN c.o_orderdate END)) AS invalid_us
+            FROM orders e LEFT JOIN orders c ON c.o_custkey = e.o_custkey
+            GROUP BY 1, 2, 3, 4)
+        SELECT * FROM inv
+        WHERE valid_us <= epoch_us(TIMESTAMP '1995-06-01 00:00:00')
+          AND (invalid_us IS NULL OR invalid_us > epoch_us(TIMESTAMP '1995-06-01 00:00:00'))
+    """,
+    "semantic_dedup_pairs": _semantic_dedup_oracle(threshold=0.3),
+    "pack_sequences": _pack_sequences_oracle(budget=512, n_shards=8),
+    "pagerank_graph": _pagerank_oracle(rounds=3),
+    "host_cap": """
+        SELECT doc_id, host, host_rank FROM (
+            SELECT doc_id, source AS host,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS host_rank
+            FROM documents)
+        WHERE host_rank <= 3
+    """,
     # GROUND-TRUTH canonical URLs recomputed from the doc_id arithmetic
     # directly (not a re-run of the normalization string algebra): any bug
     # in scheme/host/port/utm/sort/slash/fragment handling breaks the hash

@@ -52,6 +52,11 @@ HEADLINE = [
     "kmeans_clusters",
     "unigram_surprisal",
     "dedup_cluster_canonical",
+    "graph_snapshot_at",
+    "semantic_dedup_pairs",
+    "host_cap",
+    "pack_sequences",
+    "pagerank_graph",
     "url_dedup",
     "line_dedup",
     "ngram_decontam",

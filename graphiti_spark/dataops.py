@@ -1650,3 +1650,285 @@ def dedup_clusters(
         "cluster_size",
         (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic near-dup pairs: k-means partition + within-cluster
+# exact cosine (Abbas et al. 2023 shape: the clustering bounds the quadratic)
+# ---------------------------------------------------------------------------
+
+
+def semantic_neardup_pairs(
+    embs: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup candidates: cluster the corpus with
+    the deterministic integer k-means (kmeans_assign), then emit every
+    same-cluster pair (a < b) with quantized cosine >= threshold.
+
+    The clustering is what makes semantic dedup tractable: cosine pairs
+    are only computed WITHIN a cluster, so the quadratic is bounded by the
+    largest cluster, not the corpus. Within a cluster the same block-grid
+    used by embedding_neardup_pairs spreads the remaining quadratic over
+    n_blocks*(n_blocks+1)/2 independent tasks keyed on (cluster, cell) —
+    a hub cluster never serializes onto one task.
+
+    Output: a_id, b_id, cluster, cos_x10000. Every arithmetic step is
+    engine-exact (integer k-means, int64 dots, IEEE sqrt/div), so the
+    DuckDB twin (kmeans oracle + within-cluster cross join) reproduces the
+    pair set bit-for-bit.
+
+    100 TB posture: kmeans_assign is map-side-only per round (centroid
+    literals); the pair stage shuffles each vector n_blocks times keyed by
+    (cluster, cell); k scales with corpus size (k ~ n/10k keeps expected
+    cluster work constant)."""
+    import numpy as np
+
+    assigned = kmeans_assign(embs, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col)
+    base = embs.select(
+        F.col(id_col).alias("vec_id"), quantize_col(F.col(vec_col)).alias("qv")
+    ).join(assigned.select("vec_id", "cluster"), "vec_id")
+    b = int(n_blocks)
+    thr = float(threshold)
+    rows = base.withColumn("blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(b)))
+    cells = rows.withColumn(
+        "cell",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("blk")), lambda i: i * b + F.col("blk")
+                ),
+                F.when(
+                    F.col("blk") < b - 1,
+                    F.transform(
+                        F.sequence(F.col("blk") + 1, F.lit(b - 1)),
+                        lambda j: F.col("blk") * b + j,
+                    ),
+                ).otherwise(F.array().cast("array<bigint>")),
+            )
+        ),
+    )
+
+    def _cluster_cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = int(key[0])
+        ci, cj = divmod(int(key[1]), b)
+        a_side = pdf[pdf["blk"] == ci]
+        b_side = pdf[pdf["blk"] == cj] if ci != cj else a_side
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cluster": [], "cos_x10000": []})
+        if len(a_side) == 0 or len(b_side) == 0:
+            return empty
+        amat = np.array(a_side["qv"].tolist(), dtype=np.int64)
+        bmat = np.array(b_side["qv"].tolist(), dtype=np.int64)
+        aid = a_side["vec_id"].to_numpy(dtype=np.int64)
+        bid = b_side["vec_id"].to_numpy(dtype=np.int64)
+        anorm = np.sqrt((amat * amat).sum(axis=1).astype(np.float64))
+        bnorm = np.sqrt((bmat * bmat).sum(axis=1).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (amat @ bmat.T).astype(np.float64) / (anorm[:, None] * bnorm[None, :])
+            mask = cos >= thr
+        if ci == cj:
+            mask &= aid[:, None] < bid[None, :]
+        ai, bi = np.nonzero(mask)
+        if len(ai) == 0:
+            return empty
+        a_ids, b_ids = aid[ai], bid[bi]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(a_ids, b_ids),
+                "b_id": np.maximum(a_ids, b_ids),
+                "cluster": np.full(len(ai), cluster, dtype=np.int64),
+                "cos_x10000": np.floor(cos[ai, bi] * 10000.0 + 0.5).astype(np.int64),
+            }
+        )
+
+    return cells.groupBy("cluster", "cell").applyInPandas(
+        _cluster_cell_pairs,
+        schema="a_id long, b_id long, cluster long, cos_x10000 long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-host document caps (Common-Crawl curation: bound any one domain's share)
+# ---------------------------------------------------------------------------
+
+
+def host_cap(
+    docs: DataFrame,
+    per_host: int = 10,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """Keep at most `per_host` documents per host, best-first: rank within
+    host by (order_col DESC, id ASC) and keep rank <= per_host.
+
+    Two-phase at scale: a MAP-SIDE pre-pass caps every Arrow batch at
+    per_host rows per host (mapInPandas — no shuffle, no skew exposure),
+    so the global window only receives <= per_host * n_batches rows per
+    host instead of the host's full document set — a hub domain holding
+    1% of a 100 TB corpus arrives at the final shuffle pre-shrunk by
+    ~n_docs/(per_host * batches). The pre-pass is lossless: a row outside
+    its own batch's local top-N can never enter the global top-N. The
+    global window then re-ranks exactly.
+
+    Output: doc_id, host, host_rank (1-based) for kept rows only."""
+    if per_host < 1:
+        raise ValueError("per_host must be >= 1")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.col(order_col).cast("long").alias("ord"),
+    )
+
+    # phase 1: batch-local lossless prefilter (map-side only, no shuffle)
+    def _local_cap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(
+                ["host", "ord", "doc_id"], ascending=[True, False, True]
+            )
+            yield pdf.groupby("host", sort=False).head(per_host)
+
+    local = base.mapInPandas(_local_cap, schema="doc_id long, host string, ord long")
+    # phase 2: exact global rank over the shrunken set
+    w = Window.partitionBy("host").orderBy(F.desc("ord"), F.asc("doc_id"))
+    return (
+        local.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_rank") <= per_host)
+        .select("doc_id", "host", "host_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing (training-batch assembly: fill fixed token budgets)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing for training batches.
+
+    Documents hash into `n_shards` shards (first 48 bits of md5(id) mod
+    n_shards — the same engine-portable bucket rule as hash_split, so the
+    DuckDB twin replays the sharding); within a shard, docs are taken in
+    id order and appended to
+    the current sequence until the NEXT doc would overflow `budget`
+    whitespace tokens, which starts a new sequence (a doc longer than the
+    budget gets a sequence of its own). Output one row per doc:
+    (doc_id, shard, seq_id, n_tokens) with seq_id 0-based per shard.
+
+    The greedy scan is inherently sequential PER SHARD, so the unit of
+    parallelism is the shard (n_shards ~ executor count at scale; packing
+    state is one integer). Inside a shard the loop advances one SEQUENCE
+    per iteration via binary search on the token cumsum — O(n_seqs log n)
+    numpy, not a per-row Python loop.
+
+    100 TB posture: one shuffle keyed on the uniform shard hash; token
+    counts are computed JVM-side before the shuffle so only (id, n_tok)
+    ships; shard count scales freely because shards are independent."""
+    import numpy as np
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+            ).cast("long"),
+            F.lit(int(n_shards)),
+        ).alias("shard"),
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")).cast(
+            "long"
+        ).alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        toks = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(toks)
+        n = len(pdf)
+        seq = np.zeros(n, dtype=np.int64)
+        start, sid = 0, 0
+        while start < n:
+            limit = (cum[start - 1] if start else 0) + budget
+            end = int(np.searchsorted(cum, limit, side="right"))
+            end = max(end, start + 1)  # an oversized doc still packs alone
+            seq[start:end] = sid
+            sid += 1
+            start = end
+        pdf["seq_id"] = seq
+        return pdf[["doc_id", "shard", "seq_id", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(
+        _pack, schema="doc_id long, shard long, seq_id long, n_tokens long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed rounds, integer-exact so the unrolled SQL twin replays it)
+# ---------------------------------------------------------------------------
+
+PAGERANK_SCALE = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round PageRank over a directed edge list, all-integer.
+
+    Semantics (engine-exact): every node (any id appearing as src or dst)
+    starts at rank 1_000_000. Per round, each node sends
+    floor(rank / out_degree) along each out-edge (dangling nodes send
+    nothing — their mass evaporates, the common sparse simplification),
+    and every node's new rank is 150_000 + floor(85 * incoming / 100)
+    (d = 0.85 at the same x1e6 scale). All arithmetic is int64 division
+    on non-negative values, identical in Spark, DuckDB, and Python.
+
+    Output: node id, rank_x1e6 after `rounds` rounds.
+
+    100 TB posture: per round, one join of ranks onto edges keyed by src
+    (broadcast when ranks fit; AQE skew-split for hub sources) and one
+    map-side-combinable groupBy on dst. The plan is unrolled `rounds`
+    times, so lineage stays bounded; each round's shuffle reuses the same
+    (src)/(dst) partitioning and AQE coalesces the tails."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("pr", F.lit(PAGERANK_SCALE).cast("long"))
+    for _ in range(int(rounds)):
+        contrib = (
+            e.join(ranks, e.src == ranks.id)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("pr DIV outdeg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(150_000)
+                + F.expr("(85 * coalesce(inc, 0L)) DIV 100")
+            ).cast("long").alias("pr"),
+        )
+    return ranks.select("id", F.col("pr").alias("rank_x1e6"))

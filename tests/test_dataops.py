@@ -564,3 +564,126 @@ def test_dedup_clusters(spark):
     # cluster sizes account for the whole corpus
     canon_sizes = {c: s for (c, s, k) in out.values() if k}
     assert sum(canon_sizes.values()) == len(DOCS)
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: semantic dedup, host cap, sequence packing, pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_neardup_pairs_matches_within_cluster_brute_force(spark):
+    # two tight clusters + one outlier; pairs must be exactly the
+    # same-kmeans-cluster pairs above threshold, nothing cross-cluster
+    rng = np.random.RandomState(7)
+    base_a = rng.rand(6).astype("float32")
+    base_b = -rng.rand(6).astype("float32")
+    vecs = []
+    for i in range(5):
+        vecs.append((i, (base_a + 0.01 * rng.rand(6)).tolist()))
+    for i in range(5, 10):
+        vecs.append((i, (base_b + 0.01 * rng.rand(6)).tolist()))
+    vecs.append((10, (rng.rand(6) - 0.5).tolist()))
+    df = spark.createDataFrame(vecs, schema="vec_id long, embedding array<float>")
+    got = {
+        (r["a_id"], r["b_id"]): (r["cluster"], r["cos_x10000"])
+        for r in D.semantic_neardup_pairs(df, k=2, rounds=2, threshold=0.9).collect()
+    }
+    # brute force: replay the assignment, then same-cluster quantized cosine
+    assign = {
+        r["vec_id"]: r["cluster"] for r in D.kmeans_assign(df, k=2, rounds=2).collect()
+    }
+    q = {i: np.round(np.array(v, dtype=np.float64) * 1000).astype(np.int64) for i, v in vecs}
+    want = {}
+    for a in range(11):
+        for b in range(a + 1, 11):
+            if assign[a] != assign[b]:
+                continue
+            cos = float(q[a] @ q[b]) / (
+                np.sqrt(float(q[a] @ q[a])) * np.sqrt(float(q[b] @ q[b]))
+            )
+            if cos >= 0.9:
+                want[(a, b)] = (assign[a], int(np.floor(cos * 10000 + 0.5)))
+    assert got == want
+    assert len(got) >= 10  # both tight clusters produced their C(5,2) pairs
+
+
+def test_host_cap_top_n_and_partition_invariance(spark):
+    rows = [(i, f"h{i % 3}", 100 - i) for i in range(30)]
+    # ties: two docs on h0 share ord; lower doc_id must win the rank
+    rows += [(100, "h0", 100), (101, "h0", 100)]
+    df = spark.createDataFrame(rows, schema="doc_id long, source string, n_chars long")
+    got = {
+        (r["host"], r["host_rank"]): r["doc_id"]
+        for r in D.host_cap(df, per_host=2).collect()
+    }
+    assert got[("h0", 1)] == 0  # ord 100, doc_id 0 beats 100/101 on id
+    assert got[("h0", 2)] == 100
+    assert got[("h1", 1)] == 1 and got[("h2", 1)] == 2
+    assert len(got) == 6
+    # the batch-local prefilter is lossless under any partitioning
+    got2 = {
+        (r["host"], r["host_rank"]): r["doc_id"]
+        for r in D.host_cap(df.repartition(7), per_host=2).collect()
+    }
+    assert got2 == got
+
+
+def test_pack_sequences_greedy_exact(spark):
+    texts = {
+        0: "a b c",             # 3 tokens
+        1: "d e",               # 2
+        2: "f g h i",           # 4
+        3: " ".join("x" * 1 for _ in range(12)),  # 12 tokens: oversized alone
+        4: "k",                 # 1
+        5: "l m n o p",         # 5
+        6: "q r",               # 2
+        7: "s",                 # 1
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], schema="doc_id long, text string"
+    )
+    budget, n_shards = 6, 2
+    out = D.pack_sequences(df, budget=budget, n_shards=n_shards).collect()
+    got = {r["doc_id"]: (r["shard"], r["seq_id"], r["n_tokens"]) for r in out}
+    # python replay of the same rule
+    import hashlib
+
+    def shard_of(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) % n_shards
+
+    by_shard = {}
+    for i in sorted(texts):
+        by_shard.setdefault(shard_of(i), []).append(i)
+    want = {}
+    for sh, ids in by_shard.items():
+        run, sid = 0, 0
+        for i in ids:
+            n = len(texts[i].split())
+            if run > 0 and run + n > budget:
+                sid += 1
+                run = 0
+            want[i] = (sh, sid, n)
+            run += n
+    assert got == want
+    # every doc present exactly once; oversized doc packs alone
+    assert len(out) == len(texts)
+    sh3, seq3, _ = got[3]
+    assert [i for i, (s, q, _) in got.items() if (s, q) == (sh3, seq3)] == [3]
+
+
+def test_pagerank_integer_exact(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c")]  # d->c; c dangling
+    df = spark.createDataFrame(edges, schema="src string, dst string")
+    got = {r["id"]: r["rank_x1e6"] for r in D.pagerank(df, rounds=3).collect()}
+    # python replay
+    nodes = {"a", "b", "c", "d"}
+    outdeg = {"a": 2, "b": 1, "d": 1}
+    pr = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        inc = {n: 0 for n in nodes}
+        for s, d in edges:
+            inc[d] += pr[s] // outdeg[s]
+        pr = {n: 150_000 + (85 * inc[n]) // 100 for n in nodes}
+    assert got == pr
+    # sources with no in-edges settle at the floor
+    assert got["a"] == 150_000 and got["d"] == 150_000
