@@ -1342,6 +1342,8 @@ def media_metadata(
                 elif (hdr := _bmp_header(raw)) is not None:
                     fmts.append("bmp")
                     width, height = hdr[0], abs(hdr[1])
+                elif _wav_header(raw) is not None:
+                    fmts.append("wav")
                 else:
                     fmts.append("unknown")
                 widths.append(width)
@@ -1437,6 +1439,164 @@ def decode_media(
             "media_id long, decoded boolean, width long, height long, "
             "mean_r_x100 long, mean_g_x100 long, mean_b_x100 long"
         ),
+    )
+
+
+def _wav_header(raw: bytes) -> tuple[int, int, int, int, int, int] | None:
+    """Parse a RIFF/WAVE container (the public chunk layout): walk the
+    chunk list for ``fmt `` then ``data``; returns (n_channels,
+    sample_rate, bits_per_sample, audio_format, data_offset, data_len)
+    or None if not a plausible WAV."""
+    if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt: tuple[int, int, int, int] | None = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        clen = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt " and clen >= 16 and body + 16 <= len(raw):
+            audio_format = int.from_bytes(raw[body : body + 2], "little")
+            n_channels = int.from_bytes(raw[body + 2 : body + 4], "little")
+            sample_rate = int.from_bytes(raw[body + 4 : body + 8], "little")
+            bits = int.from_bytes(raw[body + 14 : body + 16], "little")
+            fmt = (audio_format, n_channels, sample_rate, bits)
+        elif cid == b"data" and fmt is not None:
+            af, nch, sr, bits = fmt
+            if nch <= 0 or sr <= 0:
+                return None
+            data_len = min(clen, len(raw) - body)
+            return nch, sr, bits, af, body, data_len
+        pos = body + clen + (clen & 1)  # RIFF chunks are word-aligned
+    return None
+
+
+def decode_audio(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode audio blobs to signal statistics — the audio leg of the
+    multimodal feature-extract stage (loudness filters, silence
+    detection, clipping checks before a corpus keeps an audio-text pair).
+
+    REAL decode for 16-bit PCM WAV (RIFF audio_format=1, bits=16): the
+    sample array is sliced out of the blob with numpy (little-endian
+    int16, channel-interleaved — the public WAV layout), no audio
+    library needed. Compressed formats (MP3/OGG/FLAC) need codecs absent
+    in this container and come back decoded=false / NULL stats; a
+    deployment adds its codec in this same numpy loop. Output per blob:
+    sample_rate, n_channels, n_frames (per-channel sample count),
+    duration_ms (floor), rms_x100 (integer-scaled, sum-of-squares kept
+    in exact int64 arithmetic), peak_abs.
+    """
+    import math
+
+    import numpy as np
+
+    def _decode_one(raw: bytes):
+        hdr = _wav_header(raw)
+        if hdr is None:
+            return None
+        nch, sr, bits, af, off, dlen = hdr
+        if af != 1 or bits != 16:
+            return None  # non-PCM16 needs a codec table
+        n_vals = dlen // 2
+        if n_vals == 0:
+            return None
+        arr = np.frombuffer(raw, dtype="<i2", count=n_vals, offset=off)
+        n_frames = n_vals // nch
+        sumsq = int(np.dot(arr.astype(np.int64), arr.astype(np.int64)))
+        rms = math.sqrt(sumsq / n_vals)
+        return (
+            sr,
+            nch,
+            n_frames,
+            n_frames * 1000 // sr,
+            int(round(rms * 100)),
+            int(np.abs(arr.astype(np.int32)).max()),
+        )
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "sample_rate", "n_channels", "n_frames", "duration_ms",
+            "rms_x100", "peak_abs",
+        )
+        for pdf in batches:
+            out = {"media_id": [], "decoded": []}
+            out.update({c: [] for c in cols})
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob) if blob is not None else b""
+                got = _decode_one(raw)
+                out["media_id"].append(mid)
+                out["decoded"].append(got is not None)
+                for key, val in zip(cols, got if got is not None else (None,) * 6):
+                    out[key].append(val)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "decoded": out["decoded"],
+                    **{c: pd.array(out[c], dtype="Int64") for c in cols},
+                }
+            )
+
+    return media.select(id_col, blob_col).mapInPandas(
+        _dec,
+        schema=(
+            "media_id long, decoded boolean, sample_rate long, "
+            "n_channels long, n_frames long, duration_ms long, "
+            "rms_x100 long, peak_abs long"
+        ),
+    )
+
+
+def audio_frame_features(
+    media: DataFrame,
+    window_ms: int = 100,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Frame-sample PCM16 WAV blobs into fixed windows and emit per-frame
+    RMS — the audio analogue of video frame sampling (feeds silence
+    trimming, voice-activity gating, per-segment quality scores). One
+    input row fans out to ceil(n_frames / window) output rows; undecodable
+    blobs emit zero rows (they are filtered, not errored, matching
+    decode_audio's posture). Windows are channel-merged; the tail window
+    keeps its true (shorter) length in n_samples.
+    """
+    import math
+
+    import numpy as np
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "n_samples": [], "rms_x100": []}
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob) if blob is not None else b""
+                hdr = _wav_header(raw)
+                if hdr is None:
+                    continue
+                nch, sr, bits, af, off, dlen = hdr
+                if af != 1 or bits != 16 or dlen < 2:
+                    continue
+                arr = np.frombuffer(raw, dtype="<i2", count=dlen // 2, offset=off)
+                win = max(1, sr * window_ms // 1000) * nch
+                sq = arr.astype(np.int64) ** 2
+                for i in range(math.ceil(len(arr) / win)):
+                    chunk = sq[i * win : (i + 1) * win]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["n_samples"].append(len(chunk))
+                    out["rms_x100"].append(
+                        int(round(math.sqrt(int(chunk.sum()) / len(chunk)) * 100))
+                    )
+            # explicit dtypes so an all-undecodable batch still yields
+            # Arrow-castable long columns instead of empty object ones
+            yield pd.DataFrame(
+                {c: pd.array(v, dtype="Int64") for c, v in out.items()}
+            )
+
+    return media.select(id_col, blob_col).mapInPandas(
+        _frames,
+        schema="media_id long, frame_idx long, n_samples long, rms_x100 long",
     )
 
 

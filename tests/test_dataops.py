@@ -225,6 +225,71 @@ def test_decode_media_bmp(spark):
     assert not got[4]["decoded"]
 
 
+def _make_wav(samples, sample_rate=8000, n_channels=1) -> bytes:
+    """Minimal PCM16 RIFF/WAVE writer: `samples` is a flat interleaved
+    list of int16 values."""
+    body = b"".join(int(s).to_bytes(2, "little", signed=True) for s in samples)
+    block = n_channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + (16).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_decode_audio_wav(spark):
+    # mono: rms of [3, -4] = sqrt((9+16)/2) = sqrt(12.5) -> 354 x100
+    mono = _make_wav([3, -4], sample_rate=8000)
+    # stereo interleaved, 2 frames of 2 channels at 4000 Hz -> 0 ms floor
+    stereo = _make_wav([100, -100, 100, -100], sample_rate=4000, n_channels=2)
+    # an odd-length junk chunk before fmt/data exercises RIFF word alignment
+    inner = mono[12:]
+    padded = (
+        b"RIFF"
+        + (4 + 12 + len(inner)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"JUNK" + (3).to_bytes(4, "little") + b"odd\x00"
+        + inner
+    )
+    rows = [
+        (1, mono), (2, stereo), (3, b"ID3mp3-needs-codec"), (4, None), (5, padded),
+    ]
+    df = spark.createDataFrame(rows, schema="media_id long, blob binary")
+    got = {r["media_id"]: r for r in D.decode_audio(df).collect()}
+    assert got[1]["decoded"] and got[1]["sample_rate"] == 8000
+    assert got[1]["n_channels"] == 1 and got[1]["n_frames"] == 2
+    assert got[1]["rms_x100"] == 354 and got[1]["peak_abs"] == 4
+    assert got[1]["duration_ms"] == 0  # 2 frames / 8000 Hz floors to 0
+    assert got[2]["decoded"] and got[2]["n_channels"] == 2
+    assert got[2]["n_frames"] == 2 and got[2]["rms_x100"] == 10000
+    # formats that need absent codec libs come back undecoded, not crashed
+    assert not got[3]["decoded"] and got[3]["sample_rate"] is None
+    assert not got[4]["decoded"]
+    assert got[5]["decoded"] and got[5]["rms_x100"] == 354  # junk chunk skipped
+    # and media_metadata sniffs the container
+    meta = {r["media_id"]: r for r in D.media_metadata(df).collect()}
+    assert meta[1]["format"] == "wav" and meta[3]["format"] == "unknown"
+
+
+def test_audio_frame_features(spark):
+    # 8000 Hz, window 1 ms -> 8 samples/frame; 20 samples -> frames 8/8/4
+    samples = [1000] * 8 + [0] * 8 + [2000, -2000, 2000, -2000]
+    wav = _make_wav(samples, sample_rate=8000)
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"not-audio")], schema="media_id long, blob binary"
+    )
+    got = D.audio_frame_features(df, window_ms=1).orderBy("frame_idx").collect()
+    assert [r["media_id"] for r in got] == [1, 1, 1]  # undecodable row drops
+    assert [r["n_samples"] for r in got] == [8, 8, 4]
+    assert [r["rms_x100"] for r in got] == [100000, 0, 200000]
+
+
 def test_lsh_bucketed_ann(spark):
     rng = np.random.RandomState(9)
     base = rng.randn(20, 16).astype(np.float32)
