@@ -956,6 +956,92 @@ def _pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataops.pagerank(edges, rounds=3)
 
 
+def _synth_media_blobs(docs: DataFrame, kind: str) -> DataFrame:
+    """Deterministic media blobs keyed on doc_id — the multimodal columns
+    the testdata lacks, synthesized Spark-side so the REAL decoders
+    (dataops.decode_audio / video_frame_sample) run distributed over a
+    binary column and their integer outputs stay closed-form in doc_id
+    for the DuckDB twin.
+
+    kind='wav': PCM16 RIFF, nch=1+d%2 channels at 8000+(d%4)*4000 Hz,
+    d%10+1 frames per channel of alternating +/-(d%256) samples (constant
+    magnitude -> RMS == peak == d%256 exactly).
+    kind='y4m': 8x4 C420 video, d%5+1 frames, frame i solid luma
+    (d*7+i*13)%256, chroma 128.
+    """
+
+    def _gen(batches):
+        import pandas as pd  # noqa: F811 (executor-side)
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if kind == "wav":
+                    nch = 1 + d % 2
+                    sr = 8000 + (d % 4) * 4000
+                    m = d % 256
+                    n_vals = nch * (d % 10 + 1)
+                    body = b"".join(
+                        (m if j % 2 == 0 else -m).to_bytes(2, "little", signed=True)
+                        for j in range(n_vals)
+                    )
+                    block = nch * 2
+                    fmt = (
+                        (1).to_bytes(2, "little")
+                        + nch.to_bytes(2, "little")
+                        + sr.to_bytes(4, "little")
+                        + (sr * block).to_bytes(4, "little")
+                        + block.to_bytes(2, "little")
+                        + (16).to_bytes(2, "little")
+                    )
+                    chunks = (
+                        b"fmt " + (16).to_bytes(4, "little") + fmt
+                        + b"data" + len(body).to_bytes(4, "little") + body
+                    )
+                    blob = (
+                        b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+                        + b"WAVE" + chunks
+                    )
+                else:  # y4m
+                    frames = [
+                        bytes([(d * 7 + i * 13) % 256] * 32) + bytes([128] * 16)
+                        for i in range(d % 5 + 1)
+                    ]
+                    blob = b"YUV4MPEG2 W8 H4 F25:1 C420\x0a" + b"".join(
+                        b"FRAME\x0a" + f for f in frames
+                    )
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _gen, schema="media_id long, blob binary"
+    )
+
+
+def _audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM16 WAV decode (dataops.decode_audio, numpy-sliced RIFF)
+    over deterministically synthesized per-document audio blobs; every
+    output stat is closed-form in doc_id, so the oracle recomputes them
+    without parsing bytes. Pins the whole chain: blob synthesis ->
+    mapInPandas batch shape -> chunk walk -> exact-int RMS/peak."""
+    blobs = _synth_media_blobs(_t(spark, sf_dir, "documents"), "wav")
+    return dataops.decode_audio(blobs).select(
+        "media_id", "sample_rate", "n_channels", "n_frames",
+        "duration_ms", "rms_x100", "peak_abs",
+    )
+
+
+def _video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Y4M raw-video decode + per-frame sampling
+    (dataops.video_frame_sample) over synthesized per-document clips;
+    solid-luma frames make mean/min/max closed-form in (doc_id,
+    frame_idx) for the oracle. One doc fans out to doc_id%5+1 frames."""
+    blobs = _synth_media_blobs(_t(spark, sf_dir, "documents"), "y4m")
+    return dataops.video_frame_sample(blobs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pipeline_edges": _kg_pipeline_edges,
@@ -1007,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_hybrid_candidates": _edge_hybrid_candidates,
         "graph_bfs": _graph_bfs,
         "keyset_pagination": _keyset_pagination,
+        "audio_decode_stats": _audio_decode_stats,
+        "video_frame_luma": _video_frame_luma,
     }
 
 
@@ -2040,6 +2128,33 @@ _ORACLES: dict[str, str] = {
     "keyset_pagination": """
         SELECT doc_id, n_chars FROM documents WHERE doc_id < 400
         ORDER BY doc_id DESC LIMIT 50
+    """,
+    # the synthesized PCM16 WAVs carry constant-magnitude alternating
+    # samples, so every decoder output is closed-form in doc_id (see
+    # _synth_media_blobs); integer division floors in both engines
+    "audio_decode_stats": """
+        SELECT doc_id AS media_id,
+               8000 + (doc_id % 4) * 4000 AS sample_rate,
+               1 + doc_id % 2 AS n_channels,
+               doc_id % 10 + 1 AS n_frames,
+               ((doc_id % 10 + 1) * 1000) // (8000 + (doc_id % 4) * 4000)
+                   AS duration_ms,
+               (doc_id % 256) * 100 AS rms_x100,
+               doc_id % 256 AS peak_abs
+        FROM documents
+    """,
+    # solid-luma Y4M frames: frame i of doc d has every Y byte equal to
+    # (d*7 + i*13) % 256, so mean == min == max and the frame fan-out is
+    # range(0, d%5+1)
+    "video_frame_luma": """
+        WITH f AS (SELECT doc_id,
+                          unnest(range(0, doc_id % 5 + 1)) AS frame_idx
+                   FROM documents)
+        SELECT doc_id AS media_id, frame_idx,
+               ((doc_id * 7 + frame_idx * 13) % 256) * 100 AS luma_mean_x100,
+               (doc_id * 7 + frame_idx * 13) % 256 AS luma_min,
+               (doc_id * 7 + frame_idx * 13) % 256 AS luma_max
+        FROM f
     """,
 }
 

@@ -62,6 +62,8 @@ HEADLINE = [
     "ngram_decontam",
     "pii_redact",
     "episode_window_counts",
+    "audio_decode_stats",
+    "video_frame_luma",
     "bm25_term_scores",
     "rrf_fusion",
     "graph_bfs",

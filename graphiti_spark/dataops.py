@@ -1344,6 +1344,9 @@ def media_metadata(
                     width, height = hdr[0], abs(hdr[1])
                 elif _wav_header(raw) is not None:
                     fmts.append("wav")
+                elif (vh := _y4m_header(raw)) is not None:
+                    fmts.append("y4m")
+                    width, height = vh[0], vh[1]
                 else:
                     fmts.append("unknown")
                 widths.append(width)
@@ -1597,6 +1600,188 @@ def audio_frame_features(
     return media.select(id_col, blob_col).mapInPandas(
         _frames,
         schema="media_id long, frame_idx long, n_samples long, rms_x100 long",
+    )
+
+
+def _y4m_header(raw: bytes) -> tuple[int, int, int, int, str, int] | None:
+    """Parse a YUV4MPEG2 stream header (the public uncompressed-video
+    container: ASCII parameter line, then raw planar frames). Returns
+    (width, height, fps_num, fps_den, colorspace, body_offset) or None
+    if not a plausible Y4M."""
+    if not raw.startswith(b"YUV4MPEG2"):
+        return None
+    nl = raw.find(b"\x0a", 9)
+    if nl < 0:
+        return None
+    width = height = 0
+    fps_num, fps_den, cs = 0, 1, "420"
+    for tok in raw[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                width = int(val)
+            elif tag == b"H":
+                height = int(val)
+            elif tag == b"F":
+                num, den = val.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == b"C":
+                cs = val.decode("ascii")
+        except (ValueError, UnicodeDecodeError):
+            return None
+    if width <= 0 or height <= 0:
+        return None
+    return width, height, fps_num, fps_den, cs, nl + 1
+
+
+def _y4m_frame_len(width: int, height: int, cs: str) -> int | None:
+    """Bytes of raw planar data per frame for the public Y4M colorspaces
+    (luma plane + two chroma planes at the subsampled size)."""
+    y = width * height
+    if cs.startswith("420"):  # 420, 420jpeg, 420mpeg2, 420paldv
+        return y + 2 * ((width // 2) * (height // 2))
+    if cs.startswith("422"):
+        return y + 2 * ((width // 2) * height)
+    if cs.startswith("444"):
+        return 3 * y
+    if cs.startswith("mono"):
+        return y
+    return None  # unknown colorspace: refuse rather than misparse
+
+
+def decode_video(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode video blobs to container statistics — the video leg of the
+    multimodal feature-extract stage (duration filters, resolution gates,
+    frame-count sanity before a corpus keeps a video-text pair).
+
+    REAL decode for YUV4MPEG2 (.y4m), the public uncompressed planar
+    container: the header is ASCII, frames are fixed-size raw planes
+    split by ``FRAME`` markers, so numpy slicing decodes it with no codec
+    library. Compressed formats (MP4/WebM/AVI) need codecs absent in this
+    container and come back decoded=false / NULL stats; a deployment
+    drops ffmpeg into this same batch loop. Output per blob: width,
+    height, fps_num/fps_den, n_frames (counted, not trusted from the
+    header — truncated blobs report only complete frames), duration_ms
+    (floor; NULL when the header omits the frame rate), colorspace.
+    """
+
+    def _frames_in(raw: bytes, hdr) -> int:
+        width, height, _num, _den, cs, pos = hdr
+        flen = _y4m_frame_len(width, height, cs)
+        if flen is None:
+            return -1
+        n = 0
+        while pos + 5 <= len(raw) and raw[pos : pos + 5] == b"FRAME":
+            nl = raw.find(b"\x0a", pos + 5)
+            if nl < 0 or nl + 1 + flen > len(raw):
+                break
+            n += 1
+            pos = nl + 1 + flen
+        return n
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        icols = ("width", "height", "fps_num", "fps_den", "n_frames", "duration_ms")
+        for pdf in batches:
+            out = {"media_id": [], "decoded": [], "colorspace": []}
+            out.update({c: [] for c in icols})
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob) if blob is not None else b""
+                hdr = _y4m_header(raw)
+                n = _frames_in(raw, hdr) if hdr is not None else -1
+                out["media_id"].append(mid)
+                out["decoded"].append(n >= 0)
+                if n >= 0:
+                    width, height, num, den, cs, _ = hdr
+                    dur = n * 1000 * den // num if num > 0 else None
+                    vals = (width, height, num, den, n, dur)
+                    out["colorspace"].append(cs)
+                else:
+                    vals = (None,) * 6
+                    out["colorspace"].append(None)
+                for key, val in zip(icols, vals):
+                    out[key].append(val)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "decoded": out["decoded"],
+                    **{c: pd.array(out[c], dtype="Int64") for c in icols},
+                    "colorspace": out["colorspace"],
+                }
+            )
+
+    return media.select(id_col, blob_col).mapInPandas(
+        _dec,
+        schema=(
+            "media_id long, decoded boolean, width long, height long, "
+            "fps_num long, fps_den long, n_frames long, duration_ms long, "
+            "colorspace string"
+        ),
+    )
+
+
+def video_frame_sample(
+    media: DataFrame,
+    stride: int = 1,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Sample every ``stride``-th frame of Y4M video blobs and emit
+    per-frame luma statistics — the video analogue of audio frame
+    sampling (feeds black-frame detection, scene-cut heuristics,
+    per-segment brightness/contrast quality scores). One input row fans
+    out to ceil(n_frames / stride) output rows; undecodable blobs emit
+    zero rows (filtered, not errored, matching decode_audio's posture).
+    Luma stats are exact integers from the Y plane (sum kept in int64):
+    luma_mean_x100 = floor(100 * sum(Y) / (W*H)).
+    """
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    import numpy as np
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "frame_idx", "luma_mean_x100", "luma_min", "luma_max")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob) if blob is not None else b""
+                hdr = _y4m_header(raw)
+                if hdr is None:
+                    continue
+                width, height, _num, _den, cs, pos = hdr
+                flen = _y4m_frame_len(width, height, cs)
+                if flen is None:
+                    continue
+                ysz, idx = width * height, 0
+                while pos + 5 <= len(raw) and raw[pos : pos + 5] == b"FRAME":
+                    nl = raw.find(b"\x0a", pos + 5)
+                    if nl < 0 or nl + 1 + flen > len(raw):
+                        break
+                    if idx % stride == 0:
+                        y = np.frombuffer(raw, dtype=np.uint8, count=ysz, offset=nl + 1)
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["luma_mean_x100"].append(
+                            int(y.sum(dtype=np.int64)) * 100 // ysz
+                        )
+                        out["luma_min"].append(int(y.min()))
+                        out["luma_max"].append(int(y.max()))
+                    idx += 1
+                    pos = nl + 1 + flen
+            yield pd.DataFrame(
+                {c: pd.array(v, dtype="Int64") for c, v in out.items()}
+            )
+
+    return media.select(id_col, blob_col).mapInPandas(
+        _sample,
+        schema=(
+            "media_id long, frame_idx long, luma_mean_x100 long, "
+            "luma_min long, luma_max long"
+        ),
     )
 
 

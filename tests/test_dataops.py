@@ -2,6 +2,7 @@
 plumbing — vs numpy/python oracles."""
 
 import numpy as np
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -288,6 +289,64 @@ def test_audio_frame_features(spark):
     assert [r["media_id"] for r in got] == [1, 1, 1]  # undecodable row drops
     assert [r["n_samples"] for r in got] == [8, 8, 4]
     assert [r["rms_x100"] for r in got] == [100000, 0, 200000]
+
+
+def _make_y4m(frames, width, height, fps=(25, 1), colorspace="420") -> bytes:
+    """Minimal YUV4MPEG2 writer: `frames` is a list of bytes, each one
+    full raw planar frame (Y then subsampled U, V)."""
+    hdr = (
+        f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} "
+        f"Ip A1:1 C{colorspace}\x0a"
+    ).encode()
+    return hdr + b"".join(b"FRAME\x0a" + f for f in frames)
+
+
+def test_decode_video_y4m(spark):
+    # 4x2 C420: Y = 8 bytes, U = V = 2*1 = 2 bytes each -> 12 bytes/frame
+    f0 = bytes([10] * 8) + bytes([128] * 4)
+    f1 = bytes([200] * 8) + bytes([128] * 4)
+    vid = _make_y4m([f0, f1], 4, 2)
+    mono = _make_y4m([bytes([7] * 6)], 3, 2, fps=(30, 1), colorspace="mono")
+    truncated = _make_y4m([f0, f1], 4, 2)[:-5]  # second frame incomplete
+    rows = [
+        (1, vid), (2, mono), (3, b"\x00\x00\x00 ftypisom-mp4"), (4, None),
+        (5, truncated),
+    ]
+    df = spark.createDataFrame(rows, schema="media_id long, blob binary")
+    got = {r["media_id"]: r for r in D.decode_video(df).collect()}
+    assert got[1]["decoded"] and (got[1]["width"], got[1]["height"]) == (4, 2)
+    assert got[1]["n_frames"] == 2 and got[1]["fps_num"] == 25
+    assert got[1]["duration_ms"] == 80  # 2 frames at 25 fps
+    assert got[1]["colorspace"] == "420"
+    assert got[2]["decoded"] and got[2]["n_frames"] == 1
+    assert got[2]["colorspace"] == "mono" and got[2]["duration_ms"] == 33
+    # compressed containers need absent codecs: undecoded, not crashed
+    assert not got[3]["decoded"] and got[3]["width"] is None
+    assert not got[4]["decoded"]
+    assert got[5]["decoded"] and got[5]["n_frames"] == 1  # only complete frames
+    meta = {r["media_id"]: r for r in D.media_metadata(df).collect()}
+    assert meta[1]["format"] == "y4m" and meta[1]["width"] == 4
+    assert meta[3]["format"] == "unknown"
+
+
+def test_video_frame_sample(spark):
+    # three 2x2 C444 frames (Y/U/V each 4 bytes) with distinct luma
+    def frame(y):
+        return bytes([y] * 4) + bytes([128] * 8)
+
+    vid = _make_y4m([frame(0), frame(10), frame(255)], 2, 2, colorspace="444")
+    df = spark.createDataFrame(
+        [(1, vid), (2, b"not-video")], schema="media_id long, blob binary"
+    )
+    got = D.video_frame_sample(df).orderBy("frame_idx").collect()
+    assert [r["media_id"] for r in got] == [1, 1, 1]  # undecodable row drops
+    assert [r["frame_idx"] for r in got] == [0, 1, 2]
+    assert [r["luma_mean_x100"] for r in got] == [0, 1000, 25500]
+    assert [r["luma_max"] for r in got] == [0, 10, 255]
+    strided = D.video_frame_sample(df, stride=2).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in strided] == [0, 2]
+    with pytest.raises(ValueError):
+        D.video_frame_sample(df, stride=0)
 
 
 def test_lsh_bucketed_ann(spark):
