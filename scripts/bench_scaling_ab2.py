@@ -21,12 +21,22 @@ is ZERO, for two reasons both internal to the measurement:
   every pair for reasons that have nothing to do with external load.
 
 The v2 monitor measures external contention DIRECTLY: every 5 s it counts
-threads in R (runnable) or D (uninterruptible) state via `ps -eLo
-pgid,stat,comm`, EXCLUDING the worker's own process group (the worker is
-launched with start_new_session=True so its JVM + python children share a
-fresh pgid) and the sampling `ps` itself. What remains is the
+threads in R (runnable) or D (uninterruptible) state, excluding the
+worker's own threads and the sampling `ps` itself. What remains is the
 instantaneous number of external threads competing for (or blocking on)
 CPU/IO — no averaging window, no decay, no own-thread contamination.
+
+v3 (this version) fixes HOW "the worker's own threads" are identified.
+v2 excluded by process group (the worker is launched with
+start_new_session=True), but `pyspark.daemon` calls setpgid(0,0), so the
+job's own Python task workers land in their own pgids and were counted
+as EXTERNAL load. The error is proportional to the number of
+concurrently-running Python workers — i.e. systematically larger at the
+higher parallelism level (measured: ext_mean ~0.8-0.9 at local[2] vs
+~2.0-2.6 at local[8] on the same ambient load) — which made the
+qualification gate unpassable by construction. v3 excludes the full
+descendant tree of the worker process (ppid walk), computed from the
+same `ps -eLo pid,ppid,stat,comm` snapshot used for the thread count.
 
 QUALIFICATION RULE (stated before any campaign is run with this
 protocol): a pair qualifies iff, at BOTH levels, (a) the maximum
@@ -53,32 +63,57 @@ sys.path.insert(0, os.path.dirname(__file__))
 from bench_scaling import WORKER, wait_for_quiet  # noqa: E402
 
 
-def _external_rd_threads(own_pgid: int) -> int:
-    """Instantaneous count of R/D-state threads outside `own_pgid` and
-    outside this sampler (ps itself always reports R)."""
+def _external_rd_threads(root_pid: int) -> int:
+    """Instantaneous count of R/D-state threads outside the worker's full
+    DESCENDANT TREE rooted at `root_pid` (and outside this sampler — ps
+    itself always reports R).
+
+    v3 fix over the pgid-based exclusion: `pyspark.daemon` calls
+    setpgid(0,0) on startup, so the job's own Python task workers live in
+    their OWN process group and a pgid filter counts them as external.
+    That inflated ext_mean by ~the number of concurrently-running Python
+    workers — systematically more at the higher parallelism level — and
+    made the qualification gate unpassable by construction. Walking the
+    ppid tree from the worker process catches the JVM, the daemons (ppid =
+    JVM), and every forked task worker (ppid = daemon), all from ONE ps
+    snapshot so there is no fork/exit race between tree discovery and
+    thread counting."""
     try:
         out = subprocess.run(
-            ["ps", "-eLo", "pgid=,stat=,comm="],
+            ["ps", "-eLo", "pid=,ppid=,stat=,comm="],
             capture_output=True,
             text=True,
             timeout=10,
         ).stdout
     except Exception:
         return 0
-    n = 0
+    rows = []
+    children: dict[int, list[int]] = {}
     for line in out.splitlines():
-        parts = line.split(None, 2)
-        if len(parts) < 3:
-            continue
-        pgid, stat, comm = parts
-        if not stat or stat[0] not in "RD":
-            continue
-        if comm == "ps":
+        parts = line.split(None, 3)
+        if len(parts) < 4:
             continue
         try:
-            if int(pgid) == own_pgid:
-                continue
+            pid, ppid = int(parts[0]), int(parts[1])
         except ValueError:
+            continue
+        rows.append((pid, parts[2], parts[3]))
+        children.setdefault(ppid, []).append(pid)
+    own = {root_pid}
+    frontier = [root_pid]
+    while frontier:
+        nxt = []
+        for p in frontier:
+            for c in children.get(p, ()):  # noqa: B023
+                if c not in own:
+                    own.add(c)
+                    nxt.append(c)
+        frontier = nxt
+    n = 0
+    for pid, stat, comm in rows:
+        if not stat or stat[0] not in "RD":
+            continue
+        if comm == "ps" or pid in own:
             continue
         n += 1
     return n
@@ -106,13 +141,12 @@ def one_run(cpus: int, pages: int, pages_dir: str, quiet: float | None) -> dict:
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
         text=True,
-        start_new_session=True,  # own pgid -> sampler can exclude the whole tree
+        start_new_session=True,  # still useful: clean kill of the whole tree
     )
-    own_pgid = os.getpgid(proc.pid)
 
     def _mon():
         while not stop.wait(5):
-            samples.append(_external_rd_threads(own_pgid))
+            samples.append(_external_rd_threads(proc.pid))
             loads.append(os.getloadavg()[0])
 
     th = threading.Thread(target=_mon, daemon=True)
@@ -158,6 +192,12 @@ def main() -> None:
     ap.add_argument("--quiet", type=float, default=1.5)
     ap.add_argument("--qualify-ext-max", type=int, default=1)
     ap.add_argument("--qualify-ext-mean", type=float, default=0.25)
+    ap.add_argument(
+        "--stop-after-qualifying",
+        type=int,
+        default=0,
+        help="stop early once this many pairs qualify (0 = run all pairs)",
+    )
     args = ap.parse_args()
 
     import tempfile
@@ -185,6 +225,9 @@ def main() -> None:
         }
         pairs.append(pair)
         print("PAIR " + json.dumps(pair), flush=True)
+        n_q = sum(1 for p in pairs if p["qualifies"])
+        if args.stop_after_qualifying and n_q >= args.stop_after_qualifying:
+            break
 
     effs = [p["eff"] for p in pairs]
     qeffs = [p["eff"] for p in pairs if p["qualifies"]]
