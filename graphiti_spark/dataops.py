@@ -904,6 +904,8 @@ def stratified_sample(
     for name, bp in frac_bp.items():
         if not 0 <= bp <= SPLIT_BUCKETS:
             raise ValueError(f"fraction for {name!r} outside [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction outside [0, 1]")
     bucket = F.pmod(
         F.conv(
             F.substring(
@@ -1113,7 +1115,9 @@ def url_normalize(
         scheme == "http", F.regexp_replace(host, r":80$", "")
     ).otherwise(host)
     path = F.regexp_replace(F.regexp_extract(rem, r"^[^/?#]*([^?#]*)", 1), r"/+$", "")
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # extract the query from the PRE-fragment part only: a '?' inside the
+    # fragment (SPA hash routing like '/p#!/route?x=1') is not a query
+    query = F.regexp_extract(F.regexp_replace(url, r"#.*$", ""), r"\?(.*)", 1)
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -1507,8 +1511,15 @@ def decode_audio(
             return None
         arr = np.frombuffer(raw, dtype="<i2", count=n_vals, offset=off)
         n_frames = n_vals // nch
+        if n_frames == 0:
+            return None
+        # stats over COMPLETE frames only: a truncated multi-channel blob
+        # leaves a dangling partial frame that n_frames/duration already
+        # exclude — including it in rms/peak would make the outputs
+        # internally inconsistent
+        arr = arr[: n_frames * nch]
         sumsq = int(np.dot(arr.astype(np.int64), arr.astype(np.int64)))
-        rms = math.sqrt(sumsq / n_vals)
+        rms = math.sqrt(sumsq / (n_frames * nch))
         return (
             sr,
             nch,
@@ -1857,6 +1868,8 @@ def kmeans_assign(
     v = embs.select(F.col(id_col).alias("vec_id"), _quantized_vec(vec_col).alias("qv"))
     init = v.orderBy("vec_id").limit(k).collect()  # bounded: k rows
     cents: list[list[int]] = [list(r["qv"]) for r in init]
+    if not cents:
+        raise ValueError("kmeans_assign: input frame has no rows to seed centroids")
     dim = len(cents[0])
     for _ in range(rounds):
         assigned = _kmeans_assign_once(v, cents)

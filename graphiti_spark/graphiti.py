@@ -153,22 +153,35 @@ class GraphitiSpark:
             batch = self.spark.createDataFrame(rows, schema=schema)
             group_col = F.col("group_id")
             meta_rows = [
-                (e["url"], e.get("source", "text"), e.get("source_description", ""))
+                (
+                    e["url"],
+                    e["warc_ts"],
+                    e.get("source", "text"),
+                    e.get("source_description", ""),
+                )
                 for e in episodes
                 if "source" in e or "source_description" in e
             ]
             if meta_rows:
-                # one override row per url: duplicate urls in one batch
-                # (degenerate but legal input) would fan out the episode
-                # join below — keep the deterministic max (source,
-                # description) pair per name instead
+                # one override row per EPISODE key (url, warc_ts) — the
+                # pipeline's ep_valid_at IS warc_ts (pipeline.py builds
+                # episode uuids from (url, warc_ts)), so re-crawls of the
+                # same url in one batch each keep their OWN metadata; only
+                # byte-identical duplicate keys (degenerate input) collapse
+                # to the deterministic max pair
                 meta = (
                     self.spark.createDataFrame(
-                        meta_rows, schema="name string, _src string, _srcd string"
+                        meta_rows,
+                        schema="name string, valid_at timestamp, _src string, _srcd string",
                     )
-                    .groupBy("name")
+                    .groupBy("name", "valid_at")
                     .agg(F.max(F.struct("_src", "_srcd")).alias("_m"))
-                    .select("name", F.col("_m._src").alias("_src"), F.col("_m._srcd").alias("_srcd"))
+                    .select(
+                        "name",
+                        "valid_at",
+                        F.col("_m._src").alias("_src"),
+                        F.col("_m._srcd").alias("_srcd"),
+                    )
                 )
         existing = self.store.read("nodes") if self.store.exists("nodes") else None
         result = run_pipeline(
@@ -193,7 +206,7 @@ class GraphitiSpark:
             # the pipeline's S3 contract stamps source="text"; the facade
             # honors the reference add_episode's per-episode overrides
             eps = (
-                eps.join(F.broadcast(meta), on="name", how="left")
+                eps.join(F.broadcast(meta), on=["name", "valid_at"], how="left")
                 .withColumn("source", F.coalesce("_src", "source"))
                 .withColumn("source_description", F.coalesce("_srcd", "source_description"))
                 .drop("_src", "_srcd")

@@ -124,7 +124,10 @@ def main() -> None:
         print("PAIR " + json.dumps(pair), flush=True)
 
     effs = [p["eff"] for p in pairs]
-    qeffs = [p["eff"] for p in pairs if p["qualifies"]] or effs
+    # qualifying keys report ONLY gated-clean pairs: a campaign where every
+    # pair failed the ambient gate must say so (empty list / null medians),
+    # never present contention-polluted numbers as qualified
+    qeffs = [p["eff"] for p in pairs if p["qualifies"]]
     out = {
         "pages": args.pages,
         "triples": pairs[0]["lo"]["triples"],
@@ -133,9 +136,9 @@ def main() -> None:
         "pairs": pairs,
         "eff_all": effs,
         "eff_qualifying": qeffs,
-        "eff_paired_median": round(statistics.median(qeffs), 3),
-        "eff_min": round(min(qeffs), 3),
-        "eff_max": round(max(qeffs), 3),
+        "eff_paired_median": round(statistics.median(qeffs), 3) if qeffs else None,
+        "eff_min": round(min(qeffs), 3) if qeffs else None,
+        "eff_max": round(max(qeffs), 3) if qeffs else None,
     }
     print(json.dumps(out))
 

@@ -50,8 +50,26 @@ def launch(cpus: int, core_lo: int, core_hi: int, pages: int, pages_dir: str):
     )
 
 
-def parse(proc) -> dict:
-    out, err = proc.communicate(timeout=3000)
+def drain(proc) -> "threading.Thread":
+    """Start draining a worker's stdout/stderr immediately. Both workers
+    run concurrently; if the parent blocked in one worker's communicate()
+    while the other filled its 64KB pipe (JVM WARN/GC chatter), the other
+    worker's writes would stall MID-MEASUREMENT and inflate its wall time.
+    Draining both from the moment of launch keeps the pipes empty."""
+    proc._drained = {"out": "", "err": ""}
+
+    def _pump():
+        out, err = proc.communicate(timeout=3000)
+        proc._drained = {"out": out, "err": err}
+
+    th = threading.Thread(target=_pump, daemon=True)
+    th.start()
+    return th
+
+
+def parse(proc, th) -> dict:
+    th.join(timeout=3000)
+    out, err = proc._drained["out"], proc._drained["err"]
     for line in out.splitlines():
         if line.startswith("WORKER_RESULT "):
             r = json.loads(line[len("WORKER_RESULT "):])["runs"][0]
@@ -88,8 +106,10 @@ def main() -> None:
         # same instant, disjoint cores: lo on [0, n), hi on [n, 5n)
         lo_p = launch(n, 0, n - 1, args.pages, pages_dir)
         hi_p = launch(4 * n, n, 5 * n - 1, args.pages, pages_dir)
-        hi = parse(hi_p)
-        lo = parse(lo_p)
+        lo_t = drain(lo_p)
+        hi_t = drain(hi_p)
+        hi = parse(hi_p, hi_t)
+        lo = parse(lo_p, lo_t)
         stop.set()
         th.join(timeout=1)
         own = 5 * n

@@ -273,6 +273,13 @@ def test_decode_audio_wav(spark):
     assert not got[3]["decoded"] and got[3]["sample_rate"] is None
     assert not got[4]["decoded"]
     assert got[5]["decoded"] and got[5]["rms_x100"] == 354  # junk chunk skipped
+    # a stereo blob truncated to an odd sample count: the dangling
+    # half-frame is excluded from rms/peak, matching n_frames/duration
+    trunc = _make_wav([100, -100, 100, -100, 32000], sample_rate=4000, n_channels=2)
+    t = D.decode_audio(
+        spark.createDataFrame([(9, trunc)], schema="media_id long, blob binary")
+    ).collect()[0]
+    assert t["n_frames"] == 2 and t["peak_abs"] == 100 and t["rms_x100"] == 10000
     # and media_metadata sniffs the container
     meta = {r["media_id"]: r for r in D.media_metadata(df).collect()}
     assert meta[1]["format"] == "wav" and meta[3]["format"] == "unknown"
@@ -483,6 +490,10 @@ def test_url_normalize(spark):
         (4, "https://example.com/", "https://example.com"),
         (5, "https://example.com/p?utm_campaign=x", "https://example.com/p"),
         (6, "https://example.com/CaseSensitive/Path", "https://example.com/CaseSensitive/Path"),
+        # a '?' INSIDE the fragment is not a query: SPA hash routing must
+        # canonicalize to the bare page, identical to the fragment-free crawl
+        (7, "https://example.com/p#!/route?x=1", "https://example.com/p"),
+        (8, "https://example.com/p", "https://example.com/p"),
     ]
     df = spark.createDataFrame([(i, u) for i, u, _ in cases], schema="doc_id long, url string")
     got = {r["id"]: r["canonical_url"] for r in D.url_normalize(df).collect()}
@@ -585,9 +596,14 @@ def test_stratified_sample(spark):
     big = {r["id"] for r in
            D.stratified_sample(df, {"en": 0.5}, strata_col="lang", salt="m").collect()}
     assert small <= big and small
-    # out-of-range fraction rejected
+    # out-of-range fraction rejected — named and default alike
     try:
         D.stratified_sample(df, {"en": 1.5})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    try:
+        D.stratified_sample(df, {"en": 0.5}, default_fraction=1.5)
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
@@ -657,6 +673,15 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert out[1] == out[2] == 2  # proof the emptied centroid survived
     assert out[3] == out[4] == 1
     assert set(out.values()) == {0, 1, 2}
+
+
+def test_kmeans_empty_input_raises(spark):
+    df = spark.createDataFrame([], schema="vec_id long, embedding array<float>")
+    try:
+        D.kmeans_assign(df, k=3)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "no rows" in str(e)
 
 
 def test_unigram_surprisal(spark):

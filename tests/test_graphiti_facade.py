@@ -144,7 +144,9 @@ def test_build_indices_and_constraints_delete_existing(spark, tmp_path):
 
 def test_duplicate_url_meta_no_fanout(spark, tmp_path):
     """Two episodes sharing a url with different source metadata must not
-    fan out the meta-override join (one episode row per (url, warc_ts))."""
+    fan out the meta-override join (one episode row per (url, warc_ts)),
+    and each re-crawl keeps its OWN metadata — the override is keyed by
+    the full episode key (url, warc_ts), not url alone."""
     from datetime import timedelta
 
     g = _client(spark, tmp_path)
@@ -158,8 +160,11 @@ def test_duplicate_url_meta_no_fanout(spark, tmp_path):
              "source": "json", "source_description": "second"},
         ]
     )
-    eps = g.store.read("episodes").collect()
+    eps = {e["source"]: e for e in g.store.read("episodes").collect()}
     assert len(eps) == 2
-    # deterministic override: the max (source, description) pair per url
-    assert {e["source"] for e in eps} == {"message"}
-    assert {e["source_description"] for e in eps} == {"first"}
+    # per-episode override: each (url, warc_ts) keeps its own pair
+    assert eps["message"]["source_description"] == "first"
+    assert eps["json"]["source_description"] == "second"
+    # and the overrides landed on the right episodes: the re-crawl (+1h)
+    # carries the second pair
+    assert eps["json"]["valid_at"] > eps["message"]["valid_at"]
