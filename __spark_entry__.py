@@ -968,6 +968,12 @@ def _synth_media_blobs(docs: DataFrame, kind: str) -> DataFrame:
     magnitude -> RMS == peak == d%256 exactly).
     kind='y4m': 8x4 C420 video, d%5+1 frames, frame i solid luma
     (d*7+i*13)%256, chroma 128.
+    kind='png': 8x4 true PNGs (datagen.png_encode — zlib deflate + spec
+    forward filters), RGBA when d is odd / RGB when even, row y filtered
+    with type (d+y)%5 so all five spec filters appear across the corpus;
+    pixel (x,y) = (R0+2x, G0+3y, B0+x+y [, 255]) with R0=d%241,
+    G0=(d*3)%241, B0=(d*5)%239 — gradients chosen so every channel mean is
+    closed-form: mean_x100 = 100*R0+700 / 100*G0+450 / 100*B0+500.
     """
 
     def _gen(batches):
@@ -1003,6 +1009,24 @@ def _synth_media_blobs(docs: DataFrame, kind: str) -> DataFrame:
                         b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
                         + b"WAVE" + chunks
                     )
+                elif kind == "png":
+                    import numpy as np  # noqa: F811 (executor-side)
+
+                    from graphiti_spark.datagen import png_encode
+
+                    w, h = 8, 4
+                    r0, g0, b0 = d % 241, (d * 3) % 241, (d * 5) % 239
+                    xs = np.arange(w)[None, :]
+                    ys = np.arange(h)[:, None]
+                    chans = [
+                        np.broadcast_to(r0 + 2 * xs, (h, w)),
+                        np.broadcast_to(g0 + 3 * ys, (h, w)),
+                        b0 + xs + ys,
+                    ]
+                    if d % 2 == 1:
+                        chans.append(np.full((h, w), 255))
+                    px = np.stack(chans, axis=2).astype(np.uint8)
+                    blob = png_encode(px, filters=[(d + y) % 5 for y in range(h)])
                 else:  # y4m
                     frames = [
                         bytes([(d * 7 + i * 13) % 256] * 32) + bytes([128] * 16)
@@ -1031,6 +1055,18 @@ def _audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "sample_rate", "n_channels", "n_frames",
         "duration_ms", "rms_x100", "peak_abs",
     )
+
+
+def _image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode (dataops._png_decode: stdlib zlib inflate +
+    spec filter inversion, no image library) over synthesized per-document
+    8x4 PNGs that exercise all five scanline filters and both RGB/RGBA
+    color types; the gradient pixels make every channel mean closed-form
+    in doc_id, so the oracle recomputes the stats without touching bytes.
+    Pins blob synthesis -> chunk walk -> inflate -> unfilter -> channel
+    means end-to-end."""
+    blobs = _synth_media_blobs(_t(spark, sf_dir, "documents"), "png")
+    return dataops.decode_media(blobs)
 
 
 def _video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1095,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyset_pagination": _keyset_pagination,
         "audio_decode_stats": _audio_decode_stats,
         "video_frame_luma": _video_frame_luma,
+        "image_decode_stats": _image_decode_stats,
     }
 
 
@@ -2155,6 +2192,18 @@ _ORACLES: dict[str, str] = {
                (doc_id * 7 + frame_idx * 13) % 256 AS luma_min,
                (doc_id * 7 + frame_idx * 13) % 256 AS luma_max
         FROM f
+    """,
+    # the synthesized 8x4 PNGs carry linear channel gradients (see
+    # _synth_media_blobs kind='png'): R = R0+2x, G = G0+3y, B = B0+x+y,
+    # so each channel's mean over the 32 pixels is exact —
+    # mean_r = R0+7, mean_g = G0+4.5, mean_b = B0+5
+    "image_decode_stats": """
+        SELECT doc_id AS media_id, TRUE AS decoded,
+               8 AS width, 4 AS height,
+               (doc_id % 241) * 100 + 700 AS mean_r_x100,
+               ((doc_id * 3) % 241) * 100 + 450 AS mean_g_x100,
+               ((doc_id * 5) % 239) * 100 + 500 AS mean_b_x100
+        FROM documents
     """,
 }
 

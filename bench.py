@@ -64,6 +64,7 @@ HEADLINE = [
     "episode_window_counts",
     "audio_decode_stats",
     "video_frame_luma",
+    "image_decode_stats",
     "bm25_term_scores",
     "rrf_fusion",
     "graph_bfs",

@@ -416,3 +416,77 @@ def write_web_pages_parquet(path: str, n_pages: int = 200, seed: int = 42) -> in
     )
     pq.write_table(table, path)
     return len(rows)
+
+
+def png_encode(pixels, filters=None) -> bytes:
+    """Minimal spec-correct PNG encoder over the Python stdlib (zlib for
+    the IDAT deflate stream and CRCs) — exists so tests and synthetic
+    multimodal columns can round-trip dataops._png_decode against known
+    pixel arrays without an image library.
+
+    ``pixels`` is an (H, W, C) uint8 array with C in {1, 2, 3, 4}
+    (grey / grey+alpha / RGB / RGBA). ``filters`` optionally gives the
+    scanline filter type (0-4) per row; defaults to 0 (None) everywhere.
+    Forward-filters each row per the public spec, deflates, and wraps in
+    signature + IHDR/IDAT/IEND chunks.
+    """
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    if filters is None:
+        filters = [0] * h
+    flat = px.reshape(h, w * nch).astype(np.int64)
+    stride = w * nch
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(filters[y])
+        row = flat[y]
+        left = np.zeros(stride, dtype=np.int64)
+        left[nch:] = row[:-nch]
+        up_left = np.zeros(stride, dtype=np.int64)
+        up_left[nch:] = prev[:-nch]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - up_left
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - up_left)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, prev, up_left)
+            )
+            enc = row - pred
+        else:
+            raise ValueError(f"bad filter {f}")
+        out.append(f)
+        out += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )

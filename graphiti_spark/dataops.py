@@ -1286,9 +1286,11 @@ def pii_redact(
 
 
 # ---------------------------------------------------------------------------
-# multimodal columns: opaque binary + typed metadata; decode is a stub
-# (image/audio libs absent in this container) but the Spark plumbing —
-# schema, batch iteration, partition-sized Arrow batches — is real.
+# multimodal columns: opaque binary + typed metadata. Decode is REAL for
+# every format whose spec needs no external codec: BMP (raw pixel array),
+# PNG (stdlib zlib inflate + spec filters 0-4), PCM16 WAV, Y4M raw video;
+# JPEG gets a real dimension parse (SOF marker walk) but pixel decode
+# honestly requires a DCT codec absent in this container.
 # ---------------------------------------------------------------------------
 
 MEDIA_SCHEMA = StructType(
@@ -1318,17 +1320,152 @@ def _bmp_header(raw: bytes) -> tuple[int, int, int, int, int] | None:
     return width, height, bpp, comp, off
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_ihdr(raw: bytes) -> tuple[int, int, int, int, int] | None:
+    """Parse the PNG signature + IHDR chunk (always first, fixed 13-byte
+    layout per the public spec): returns (width, height, bit_depth,
+    color_type, interlace) or None if not a plausible PNG."""
+    if len(raw) < 33 or raw[:8] != _PNG_SIG or raw[12:16] != b"IHDR":
+        return None
+    width = int.from_bytes(raw[16:20], "big")
+    height = int.from_bytes(raw[20:24], "big")
+    bit_depth = raw[24]
+    color_type = raw[25]
+    interlace = raw[28]
+    if width <= 0 or height <= 0:
+        return None
+    return width, height, bit_depth, color_type, interlace
+
+
+# channels per PNG color type (the public IHDR contract)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_decode(raw: bytes):
+    """Spec-complete PNG pixel decode with no image library: stdlib zlib
+    inflates the IDAT stream and the five scanline filters (None/Sub/Up/
+    Average/Paeth) are inverted per the public spec. Supports 8-bit
+    greyscale / RGB / grey+alpha / RGBA, non-interlaced — the shapes a
+    curation pipeline meets in practice. Returns an (H, W, C) uint8 array
+    or None if the blob is not decodable under those bounds.
+
+    Up/None rows invert fully vectorized; Sub inverts via a per-pixel-lane
+    modular cumsum; Average/Paeth carry a true intra-row data dependency
+    (recon[x] needs recon[x-1]) so they walk pixels in Python — O(W) per
+    row, fine for thumbnail-scale curation stats; a deployment swaps in a
+    codec library inside this same mapInPandas loop for megapixel inputs.
+    """
+    import zlib
+
+    import numpy as np
+
+    hdr = _png_ihdr(raw)
+    if hdr is None:
+        return None
+    width, height, bit_depth, color_type, interlace = hdr
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        return None
+    nch = _PNG_CHANNELS[color_type]
+    # walk chunks: IDAT segments concatenate into one zlib stream
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(raw):
+        clen = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        body_end = pos + 8 + clen
+        if body_end + 4 > len(raw):
+            return None  # truncated chunk
+        if ctype == b"IDAT":
+            idat += raw[pos + 8 : body_end]
+        elif ctype == b"IEND":
+            break
+        pos = body_end + 4  # skip CRC
+    if not idat:
+        return None
+    try:
+        flat = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * nch
+    if len(flat) < height * (stride + 1):
+        return None
+    rows = np.frombuffer(flat, dtype=np.uint8, count=height * (stride + 1))
+    rows = rows.reshape(height, stride + 1)
+    filters = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64)
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        f = filters[y]
+        row = data[y]
+        if f == 0:  # None
+            rec = row
+        elif f == 1:  # Sub: cumsum along the pixel axis per byte lane
+            rec = np.cumsum(row.reshape(width, nch), axis=0).reshape(stride)
+        elif f == 2:  # Up
+            rec = row + prev
+        elif f == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - nch] if x >= nch else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            return None
+        rec = rec & 0xFF
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(height, width, nch)
+
+
+def _jpeg_dims(raw: bytes) -> tuple[int, int] | None:
+    """Real JPEG dimension parse — walk the marker stream to the first
+    SOF0-SOF15 frame header (public JFIF layout); no DCT codec needed for
+    metadata. Returns (width, height) or None."""
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            return None
+        marker = raw[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        seg_len = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > len(raw):
+                return None
+            height = int.from_bytes(raw[pos + 5 : pos + 7], "big")
+            width = int.from_bytes(raw[pos + 7 : pos + 9], "big")
+            return (width, height) if width > 0 and height > 0 else None
+        if marker == 0xDA:
+            return None  # scan data reached without a frame header
+        pos += 2 + seg_len
+    return None
+
+
 def media_metadata(
     media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
 ) -> DataFrame:
     """Extract metadata from opaque binary columns via mapInPandas.
 
-    BMP dimensions are parsed for real from the BITMAPINFOHEADER (the
-    format is public and header-complete); JPEG/PNG are sniffed by magic
-    bytes only — their dimension parse needs the codec libraries absent in
-    this container, so width/height stay NULL for them (a deployment drops
-    PIL/ffmpeg into this same batch loop). The Spark-side batch shape,
-    schema and partitioning are what this function pins.
+    Dimensions are parsed for real from the public header layouts — BMP's
+    BITMAPINFOHEADER, PNG's IHDR chunk, JPEG's SOF frame marker — no codec
+    library involved; only formats whose headers are genuinely opaque
+    without one keep width/height NULL. The Spark-side batch shape, schema
+    and partitioning are what this function pins.
     """
 
     def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1341,8 +1478,12 @@ def media_metadata(
                 width = height = None
                 if raw[:2] == b"\xff\xd8":
                     fmts.append("jpeg")
-                elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    if (jd := _jpeg_dims(raw)) is not None:
+                        width, height = jd
+                elif raw[:8] == _PNG_SIG:
                     fmts.append("png")
+                    if (ph := _png_ihdr(raw)) is not None:
+                        width, height = ph[0], ph[1]
                 elif (hdr := _bmp_header(raw)) is not None:
                     fmts.append("bmp")
                     width, height = hdr[0], abs(hdr[1])
@@ -1377,16 +1518,35 @@ def decode_media(
     stage of a multimodal curation pipeline (used for brightness filters,
     monochrome detection, near-dup prefilters).
 
-    REAL decode for uncompressed 24-bit BMP (BI_RGB): the pixel array is
-    sliced out of the blob with numpy (bottom-up row order, rows padded to
-    4 bytes, BGR channel order — the public BMP layout), no image library
-    needed. JPEG/PNG require codecs absent in this container and come back
-    with decoded=false / NULL stats; a deployment adds PIL in this same
-    numpy loop. Output: media_id, decoded, width, height, mean_r_x100,
-    mean_g_x100, mean_b_x100 (integer-scaled, engine-exact)."""
+    REAL decode for uncompressed 24-bit BMP (BI_RGB — numpy slice over the
+    public pixel-array layout: bottom-up rows padded to 4 bytes, BGR order)
+    and for 8-bit non-interlaced PNG (stdlib zlib inflate + spec filter
+    inversion, see _png_decode; greyscale is broadcast to RGB and alpha is
+    dropped for the channel means). JPEG pixel decode requires a DCT codec
+    absent in this container and comes back decoded=false / NULL stats; a
+    deployment adds PIL in this same numpy loop. Output: media_id, decoded,
+    width, height, mean_r_x100, mean_g_x100, mean_b_x100 (integer-scaled,
+    engine-exact)."""
     import numpy as np
 
     def _decode_one(raw: bytes):
+        if raw[:8] == _PNG_SIG:
+            px = _png_decode(raw)
+            if px is None:
+                return None
+            h, w, nch = px.shape
+            if nch in (2, 4):  # drop the alpha channel for the means
+                px = px[:, :, : nch - 1]
+            if px.shape[2] == 1:  # greyscale -> broadcast to RGB
+                px = np.repeat(px, 3, axis=2)
+            means = px.reshape(-1, 3).mean(axis=0)
+            return (
+                w,
+                h,
+                int(round(float(means[0]) * 100)),
+                int(round(float(means[1]) * 100)),
+                int(round(float(means[2]) * 100)),
+            )
         hdr = _bmp_header(raw)
         if hdr is None:
             return None

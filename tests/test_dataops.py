@@ -226,6 +226,89 @@ def test_decode_media_bmp(spark):
     assert not got[4]["decoded"]
 
 
+def test_png_decode_roundtrip_all_filters():
+    """Spec-completeness of the pure-stdlib PNG decode: random pixel
+    arrays for every color type, forward-filtered with every scanline
+    filter (0-4), must reconstruct bit-exactly after deflate+unfilter."""
+    import numpy as np
+
+    from graphiti_spark.datagen import png_encode
+
+    rng = np.random.default_rng(7)
+    for nch in (1, 2, 3, 4):
+        for _ in range(4):
+            h, w = int(rng.integers(1, 13)), int(rng.integers(1, 17))
+            px = rng.integers(0, 256, (h, w, nch), dtype=np.uint8)
+            filters = rng.integers(0, 5, h)
+            blob = png_encode(px, filters)
+            dec = D._png_decode(blob)
+            assert dec is not None and dec.shape == (h, w, nch)
+            assert (dec == px).all()
+    # per-row single-filter sanity: each filter alone round-trips too
+    for f in range(5):
+        px = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+        dec = D._png_decode(png_encode(px, [f] * 5))
+        assert (dec == px).all()
+    # corrupt and truncated inputs fail closed, not loudly
+    assert D._png_decode(blob[:20]) is None
+    assert D._png_decode(b"not a png") is None
+    assert D._png_decode(blob[:-8]) is not None  # IEND loss is tolerable
+
+
+def test_media_metadata_png_jpeg_dims(spark):
+    """PNG IHDR and JPEG SOF dimension parses are real (no codec)."""
+    import numpy as np
+
+    from graphiti_spark.datagen import png_encode
+
+    png = png_encode(np.zeros((4, 9, 3), dtype=np.uint8))
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + bytes([3]) + bytes(9)
+    )
+    jpeg = b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+    rows = [(1, png), (2, jpeg), (3, b"\x89PNG\r\n\x1a\n" + b"torn")]
+    df = spark.createDataFrame(rows, schema="media_id long, blob binary")
+    got = {r["media_id"]: r for r in D.media_metadata(df).collect()}
+    assert got[1]["format"] == "png" and (got[1]["width"], got[1]["height"]) == (9, 4)
+    assert got[2]["format"] == "jpeg" and (got[2]["width"], got[2]["height"]) == (640, 480)
+    # magic-only blob still classifies as png but yields no dimensions
+    assert got[3]["format"] == "png" and got[3]["width"] is None
+
+
+def test_decode_media_png(spark):
+    """Real PNG pixel decode inside decode_media: exact channel means for
+    RGB, alpha dropped for RGBA, greyscale broadcast to all channels."""
+    import numpy as np
+
+    from graphiti_spark.datagen import png_encode
+
+    rgb = np.array(
+        [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (100, 110, 120)]],
+        dtype=np.uint8,
+    )
+    rgba = np.dstack([rgb, np.full((2, 2), 7, dtype=np.uint8)])
+    grey = np.full((3, 3, 1), 200, dtype=np.uint8)
+    rows = [
+        (1, png_encode(rgb, filters=[1, 4])),
+        (2, png_encode(rgba, filters=[3, 2])),
+        (3, png_encode(grey)),
+    ]
+    df = spark.createDataFrame(rows, schema="media_id long, blob binary")
+    got = {r["media_id"]: r for r in D.decode_media(df).collect()}
+    assert got[1]["decoded"] and (got[1]["width"], got[1]["height"]) == (2, 2)
+    assert (got[1]["mean_r_x100"], got[1]["mean_g_x100"], got[1]["mean_b_x100"]) == (
+        5500, 6500, 7500,
+    )
+    # alpha ignored: same means as the rgb image
+    assert (got[2]["mean_r_x100"], got[2]["mean_g_x100"], got[2]["mean_b_x100"]) == (
+        5500, 6500, 7500,
+    )
+    assert got[3]["mean_r_x100"] == got[3]["mean_g_x100"] == got[3]["mean_b_x100"] == 20000
+
+
 def _make_wav(samples, sample_rate=8000, n_channels=1) -> bytes:
     """Minimal PCM16 RIFF/WAVE writer: `samples` is a flat interleaved
     list of int16 values."""
