@@ -1078,6 +1078,50 @@ def _video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataops.video_frame_sample(blobs)
 
 
+def _winnow_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection (winnowing fingerprints,
+    dataops.winnow_dup_span_pairs): docs 2j and 2j+1 (every fifth pair)
+    each carry the SAME 12-token passage parameterized by j, preceded by
+    a doc-specific pad of VARYING length — so the shared span sits at
+    different token offsets in the two docs, proving the content-defined
+    selection (a strided/aligned k-gram scheme would miss it). The
+    winnowing guarantee (span >= w + k - 1 = 7 tokens always shares a
+    fingerprint) makes every planted pair provably present."""
+    j = F.expr("doc_id DIV 2")
+    pad = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (F.col("doc_id") % 4) + 1),
+            lambda i: F.concat(
+                F.lit("p"), F.col("doc_id").cast("string"), F.lit("x"), i.cast("string")
+            ),
+        ),
+        " ",
+    )
+    span = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda i: F.concat(
+                F.lit("dup"), j.cast("string"), F.lit("x"), i.cast("string")
+            ),
+        ),
+        " ",
+    )
+    t2 = F.when(
+        j % 5 == 0, F.concat_ws(" ", pad, span, F.col("text"))
+    ).otherwise(F.col("text"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", t2.alias("text"))
+    return dataops.winnow_dup_span_pairs(docs)
+
+
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words linear quality classifier
+    (dataops.quality_classifier_scores) straight over the documents
+    corpus — weights are md5-derived so the DuckDB oracle replays the
+    exact model."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dataops.quality_classifier_scores(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pipeline_edges": _kg_pipeline_edges,
@@ -1123,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _line_dedup,
         "ngram_decontam": _ngram_decontam,
         "pii_redact": _pii_redact,
+        "winnow_dup_spans": _winnow_dup_spans,
+        "quality_classifier": _quality_classifier,
         "bm25_term_scores": _bm25_term_scores,
         "rrf_fusion": _rrf_fusion,
         "episode_window_counts": _episode_window_counts,
@@ -1996,6 +2042,52 @@ _ORACLES: dict[str, str] = {
                md5(red) AS redacted_md5,
                CAST(length(red) AS BIGINT) AS redacted_len
         FROM r
+    """,
+    # winnowing replayed bit-for-bit: same 48-bit md5 gram hashes, same
+    # window-min selection, same per-doc distinct, same 64-doc cap before
+    # the pair join. range() is end-exclusive where Spark's sequence() is
+    # inclusive, hence the +2 / -2 bounds.
+    "winnow_dup_spans": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN (doc_id // 2) % 5 = 0 THEN
+                   array_to_string(list_transform(range(1, (doc_id % 4) + 2),
+                       i -> 'p' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ')
+                   || ' ' ||
+                   array_to_string(list_transform(range(1, 13),
+                       i -> 'dup' || CAST(doc_id // 2 AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ')
+                   || ' ' || text
+                 ELSE text END AS text
+          FROM documents),
+        tok AS (SELECT doc_id, {_TOKS} AS wd FROM d),
+        t AS (SELECT doc_id, wd FROM tok WHERE len(wd) >= 4),
+        g AS (SELECT doc_id,
+                     list_transform(range(1, len(wd) - 2),
+                        i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(wd, i, i + 3), ' ')), 1, 12)) AS BIGINT)) AS gh
+              FROM t),
+        f AS (SELECT doc_id, unnest(list_distinct(
+                 CASE WHEN len(gh) < 4 THEN [list_min(gh)]
+                      ELSE list_transform(range(1, len(gh) - 2), j -> list_min(list_slice(gh, j, j + 3))) END)) AS fp
+              FROM g),
+        keepfp AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 64),
+        ff AS (SELECT f.doc_id, f.fp FROM f JOIN keepfp USING (fp))
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS n_shared_fps
+        FROM ff a JOIN ff b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    # the exact hashed linear model: weight(token) = 48-bit md5 % 2001
+    # - 1000; empty token list sums to 0 (DuckDB list_sum of [] is NULL,
+    # Spark aggregate of [] is the zero accumulator)
+    "quality_classifier": f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS wd FROM documents),
+        s AS (SELECT doc_id,
+                     CAST(len(wd) AS BIGINT) AS n_toks,
+                     CAST(coalesce(list_sum(list_transform(wd,
+                          x -> CAST(concat('0x', substr(md5(x || ':qw1'), 1, 12)) AS BIGINT) % 2001 - 1000)), 0) AS BIGINT) AS w_sum
+              FROM tok)
+        SELECT doc_id AS id, n_toks, w_sum, w_sum >= 0 AS keep FROM s
     """,
     # Spark's F.window tumbling buckets align to the 1970 epoch:
     # win_start = floor(epoch_seconds / 3600) * 3600. NB DuckDB's epoch()

@@ -61,6 +61,8 @@ HEADLINE = [
     "line_dedup",
     "ngram_decontam",
     "pii_redact",
+    "winnow_dup_spans",
+    "quality_classifier",
     "episode_window_counts",
     "audio_decode_stats",
     "video_frame_luma",

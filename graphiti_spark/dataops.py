@@ -2450,3 +2450,149 @@ def pagerank(
             ).cast("long").alias("pr"),
         )
     return ranks.select("id", F.col("pr").alias("rank_x1e6"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints: exact duplicated-SPAN detection (the substring-
+# level dedup of Lee et al. "Deduplicating Training Data Makes Language
+# Models Better"; fingerprint selection per Schleimer et al. winnowing)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 4  # winnowing window (gram hashes per window)
+# a fingerprint shared by more docs than this is boilerplate (site chrome,
+# licence blocks); its pair fan-out is quadratic, so it is dropped — the
+# same deliberate approximation as LSH_DOC_BUCKET_CAP
+WINNOW_DOC_CAP = 64
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints: md5-hash every word k-gram, then
+    keep the MINIMUM hash of every window of w consecutive gram hashes.
+
+    The selection is content-defined, so it is robust to where a span
+    sits inside a document: any two documents sharing a token span of
+    >= w + k - 1 words are GUARANTEED to share at least one fingerprint
+    (the winnowing guarantee), and expected fingerprint density is
+    2/(w+1) per token — sublinear output without missing matches above
+    the threshold. Documents shorter than k tokens carry no fingerprint.
+
+    Hash = first 48 bits of md5(gram), so a DuckDB oracle recomputes the
+    selection bit-for-bit. Everything is native column expressions
+    (split / transform / slice / array_min) inside whole-stage codegen —
+    no shuffle, no Python. Output: id, fp (distinct per doc)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    t = docs.select(F.col(id_col).alias("id"), toks.alias("wd")).filter(
+        F.size("wd") >= k
+    )
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size("wd") - (k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(F.col("wd"), i, k), " ")), 1, 12),
+            16,
+            10,
+        ).cast("long"),
+    )
+    g = t.select("id", gram_hashes.alias("gh"))
+    # windows of w gram hashes; a doc with fewer than w grams winnows its
+    # whole gram list as one window (the standard short-doc convention)
+    fps = F.when(
+        F.size("gh") < w, F.array(F.array_min("gh"))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("gh") - (w - 1)),
+            lambda j: F.array_min(F.slice(F.col("gh"), j, w)),
+        )
+    )
+    return g.select("id", F.explode(F.array_distinct(fps)).alias("fp"))
+
+
+def winnow_dup_span_pairs(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    doc_cap: int = WINNOW_DOC_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing duplicated token SPANS (not whole-document
+    similarity): every pair sharing any span of >= w + k - 1 tokens
+    appears, with the count of shared winnowing fingerprints as a span-
+    volume proxy. This is the operator exact-substring training-data
+    dedup needs where minhash (whole-doc Jaccard) goes blind: a 30-token
+    licence block inside two otherwise-unrelated pages.
+
+    100 TB posture: the only shuffle is the fingerprint equi-join;
+    fingerprints held by more than `doc_cap` documents are dropped
+    BEFORE the self-join (boilerplate chrome would otherwise fan out
+    quadratically — same cap rule as the LSH buckets, applied with one
+    map-side-combinable count). Candidate volume is output-sensitive:
+    2/(w+1) fingerprints per token, pairs only where real shared spans
+    exist. Output: a_id, b_id (a < b), n_shared_fps."""
+    fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    sizes = fp.groupBy("fp").count()
+    fp = fp.join(sizes.filter(F.col("count") <= doc_cap).drop("count"), on="fp")
+    a = fp.select("fp", F.col("id").alias("a_id"))
+    b = fp.select("fp", F.col("id").alias("b_id"))
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (the fastText-style model-based quality
+# filter of CCNet/GPT-3 curation, with deterministic hash-derived weights
+# so every engine replays the exact same model)
+# ---------------------------------------------------------------------------
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    salt: str = "qw1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents with a hashed bag-of-words linear classifier.
+
+    Each token's weight is derived from its hash — the first 48 bits of
+    md5(token || ':' || salt) mapped to an integer in [-1000, 1000] —
+    standing in for trained fastText weights with the same lookup shape
+    and cost (the hashing-trick weight table IS how fastText buckets
+    n-grams; a deployment writes real learned weights into the same
+    expression or swaps in a broadcast weight table). The score is the
+    token-weight sum; `keep` is the sign gate a curation pipeline
+    thresholds on. All integer md5 arithmetic, so Spark, DuckDB, and a
+    plain-Python replay agree bit-for-bit.
+
+    100 TB posture: pure map-side column expressions (split → transform
+    → aggregate) in whole-stage codegen; no shuffle, no Python, no
+    weight-table join. Output: id, n_toks, w_sum, keep."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    weights = F.transform(
+        F.col("wd"),
+        lambda x: F.conv(
+            F.substring(F.md5(F.concat(x, F.lit(":" + salt))), 1, 12), 16, 10
+        ).cast("long")
+        % 2001
+        - 1000,
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("wd"))
+        .select(
+            "id",
+            F.size("wd").cast("long").alias("n_toks"),
+            F.aggregate(
+                weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("w_sum"),
+        )
+        .select("id", "n_toks", "w_sum", (F.col("w_sum") >= 0).alias("keep"))
+    )

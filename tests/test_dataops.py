@@ -919,3 +919,105 @@ def test_pagerank_integer_exact(spark):
     assert got == pr
     # sources with no in-edges settle at the floor
     assert got["a"] == 150_000 and got["d"] == 150_000
+
+
+# ---------------------------------------------------------------------------
+# winnowing duplicated-span detection
+# ---------------------------------------------------------------------------
+
+
+def _winnow_py(text: str, k: int = 4, w: int = 4) -> set:
+    """Python replay of winnow_fingerprints for one document."""
+    import hashlib
+
+    toks = [t for t in text.split() if t]
+    if len(toks) < k:
+        return set()
+    gh = [
+        int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:12], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    if len(gh) < w:
+        return {min(gh)}
+    return {min(gh[j : j + w]) for j in range(len(gh) - w + 1)}
+
+
+def test_winnow_fingerprints_python_replay(spark):
+    texts = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "one two three four"),          # exactly k tokens -> 1 gram
+        (2, "too short here"),               # < k tokens -> no fingerprints
+    ]
+    df = spark.createDataFrame(texts, schema="doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in D.winnow_fingerprints(df).collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+    assert got.get(0) == _winnow_py(texts[0][1])
+    assert got.get(1) == _winnow_py(texts[1][1])
+    assert 2 not in got
+
+
+def test_winnow_dup_span_position_robust(spark):
+    # the same 8-token span (>= w + k - 1 = 7 guarantees a shared
+    # fingerprint) at DIFFERENT offsets in two otherwise-unrelated docs
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    df = spark.createDataFrame(
+        [
+            (0, "unrelated head words here " + span + " tail zero"),
+            (1, span + " completely different ending text"),
+            (2, "no shared material in this document at all"),
+        ],
+        schema="doc_id long, text string",
+    )
+    pairs = {(r["a_id"], r["b_id"]) for r in D.winnow_dup_span_pairs(df).collect()}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_winnow_dup_span_boilerplate_cap(spark):
+    # a span shared by 5 docs with cap 3: every fingerprint of the span
+    # lands in >3 docs and is dropped -> no pairs at all
+    span = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    df = spark.createDataFrame(
+        [(i, f"head{i} alpha{i} " + span) for i in range(5)],
+        schema="doc_id long, text string",
+    )
+    assert D.winnow_dup_span_pairs(df, doc_cap=3).count() == 0
+    # and with the cap lifted, all 10 pairs appear
+    assert D.winnow_dup_span_pairs(df, doc_cap=64).count() == 10
+
+
+def test_winnow_no_false_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "completely distinct first document about rivers and maps"),
+            (1, "another text concerning compilers gardens telescopes entirely"),
+        ],
+        schema="doc_id long, text string",
+    )
+    assert D.winnow_dup_span_pairs(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_python_replay(spark):
+    import hashlib
+
+    def wgt(tok: str) -> int:
+        return int(hashlib.md5((tok + ":qw1").encode()).hexdigest()[:12], 16) % 2001 - 1000
+
+    texts = [(0, "alpha beta gamma"), (1, ""), (2, "  "), (3, "alpha alpha")]
+    df = spark.createDataFrame(texts, schema="doc_id long, text string")
+    got = {r["id"]: r for r in D.quality_classifier_scores(df).collect()}
+    assert got[0]["n_toks"] == 3
+    assert got[0]["w_sum"] == sum(wgt(t) for t in "alpha beta gamma".split())
+    assert got[0]["keep"] == (got[0]["w_sum"] >= 0)
+    for empty_id in (1, 2):
+        assert got[empty_id]["n_toks"] == 0
+        assert got[empty_id]["w_sum"] == 0
+        assert got[empty_id]["keep"] is True
+    # repeated tokens count every occurrence (bag, not set)
+    assert got[3]["w_sum"] == 2 * wgt("alpha")
