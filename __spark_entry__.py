@@ -1122,6 +1122,33 @@ def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataops.quality_classifier_scores(docs)
 
 
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (dataops.hard_negatives): per
+    query vector, top-k candidates inside the cosine band [0.0, 0.9) —
+    the confusable-but-not-near-duplicate negatives an embedding trainer
+    wants."""
+    embs = _t(spark, sf_dir, "embeddings")
+    return dataops.hard_negatives(embs)
+
+
+def _dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance scoring (dataops.dsir_importance) over the
+    documents corpus: hashed unigram+bigram bucket counts, target split =
+    a deterministic 10% md5 slice, integer cross-multiplied likelihood
+    keep-test — all md5/integer arithmetic, so the DuckDB oracle replays
+    the exact model."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dataops.dsir_importance(docs)
+
+
+def _bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training pair counts (dataops.bpe_pair_counts): the
+    corpus-wide adjacent-character-pair frequency table whose argmax is
+    merge #1 of BPE training."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dataops.bpe_pair_counts(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pipeline_edges": _kg_pipeline_edges,
@@ -1169,6 +1196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _pii_redact,
         "winnow_dup_spans": _winnow_dup_spans,
         "quality_classifier": _quality_classifier,
+        "dsir_importance": _dsir_importance,
+        "bpe_merge_pairs": _bpe_merge_pairs,
+        "hard_negatives": _hard_negatives,
         "bm25_term_scores": _bm25_term_scores,
         "rrf_fusion": _rrf_fusion,
         "episode_window_counts": _episode_window_counts,
@@ -2088,6 +2118,77 @@ _ORACLES: dict[str, str] = {
                           x -> CAST(concat('0x', substr(md5(x || ':qw1'), 1, 12)) AS BIGINT) % 2001 - 1000)), 0) AS BIGINT) AS w_sum
               FROM tok)
         SELECT doc_id AS id, n_toks, w_sum, w_sum >= 0 AS keep FROM s
+    """,
+    # dsir_importance: hashed unigram+bigram buckets (md5 48-bit % 4096),
+    # target = 10% md5 split of doc_id, add-one smoothing, integer
+    # cross-multiplied likelihood test (HUGEINT here, decimal(38,0) in
+    # Spark — both exact)
+    "dsir_importance": f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS wd FROM documents),
+        tgt AS (SELECT doc_id, wd,
+                (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':dsir1:split'), 1, 12)) AS BIGINT) % 10000) < 1000 AS is_t
+                FROM tok),
+        feat AS (
+            SELECT doc_id, is_t, unnest(wd) AS f FROM tgt
+            UNION ALL
+            SELECT doc_id, is_t,
+                   unnest(list_transform(range(1, len(wd)), i -> wd[i] || '_' || wd[i + 1])) AS f
+            FROM tgt
+        ),
+        ex AS (SELECT doc_id, is_t,
+               CAST(concat('0x', substr(md5(f || ':dsir1'), 1, 12)) AS BIGINT) % 4096 AS b
+               FROM feat),
+        counts AS (SELECT b, count(*) AS cnt_r,
+                   sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t
+                   FROM ex GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt_r) + 4096 AS BIGINT) AS n_r,
+                       CAST(sum(cnt_t) + 4096 AS BIGINT) AS n_t FROM counts),
+        doc AS (SELECT doc_id, count(*) AS n_feats,
+                       sum(cnt_t + 1) AS sum_t, sum(cnt_r + 1) AS sum_r
+                FROM ex JOIN counts USING (b) GROUP BY 1)
+        SELECT doc_id AS id,
+               CAST(n_feats AS BIGINT) AS n_feats,
+               CAST(sum_t AS BIGINT) AS sum_t,
+               CAST(sum_r AS BIGINT) AS sum_r,
+               CAST(sum_t AS HUGEINT) * n_r >= CAST(sum_r AS HUGEINT) * n_t AS keep
+        FROM doc, tot
+    """,
+    # bpe_merge_pairs: vocabulary-first word counts, then weighted
+    # adjacent-char-pair counts; top-100 with deterministic tie-break
+    "bpe_merge_pairs": """
+        WITH tok AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS wd
+                     FROM documents),
+        w AS (SELECT unnest(wd) AS w FROM tok),
+        wc AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+        pw AS (SELECT w, c,
+                      unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+               FROM wc WHERE len(w) >= 2),
+        pk AS (SELECT w, c, pair, count(*) AS k FROM pw GROUP BY 1, 2, 3),
+        agg AS (SELECT pair, sum(c * k) AS n_occurrences, count(*) AS n_words
+                FROM pk GROUP BY 1)
+        SELECT pair,
+               CAST(n_occurrences AS BIGINT) AS n_occurrences,
+               CAST(n_words AS BIGINT) AS n_words
+        FROM agg ORDER BY n_occurrences DESC, pair LIMIT 100
+    """,
+    # hard_negatives: the brute-force ANN twin with the DPR-style
+    # confusable band 0.0 <= cos < 0.9 applied before the rank window
+    "hard_negatives": """
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                   FROM embeddings),
+        n AS (SELECT vec_id, qv,
+                     sqrt(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS DOUBLE)) AS nrm
+              FROM v),
+        pairs AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                         CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+                             / (q.nrm * c.nrm) AS cos
+                  FROM n q CROSS JOIN n c
+                  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+        banded AS (SELECT * FROM pairs WHERE cos >= 0.0 AND cos < 0.9)
+        SELECT q_id, c_id, CAST(round(cos * 10000) AS BIGINT) AS cos_x10000, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM banded)
+        WHERE rnk <= 10
     """,
     # Spark's F.window tumbling buckets align to the 1970 epoch:
     # win_start = floor(epoch_seconds / 3600) * 3600. NB DuckDB's epoch()

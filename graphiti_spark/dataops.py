@@ -2596,3 +2596,198 @@ def quality_classifier_scores(
         )
         .select("id", "n_toks", "w_sum", (F.col("w_sum") >= 0).alias("keep"))
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    target_bp: int = 1000,
+    salt: str = "dsir1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-shaped data selection: score every document by how much its
+    hashed n-gram profile looks like a target distribution (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling").
+
+    Features are unigrams + word bigrams hashed into `n_buckets` buckets
+    (the hashing trick, exactly DSIR's feature space). The target set here
+    is a deterministic md5 split of the corpus itself (`target_bp` basis
+    points, same idiom as hash_split) — a deployment swaps in a curated
+    target corpus on the counting side without touching the scoring side.
+    Per bucket we count feature occurrences in the target (cnt_t) and the
+    whole corpus (cnt_r), add-one smoothed. A document's evidence is the
+    sum of bucket counts over its features; `keep` is the integer
+    cross-multiplied likelihood test sum_t/N_t >= sum_r/N_r (decimal
+    arithmetic, no floats, so the DuckDB oracle replays it bit-for-bit).
+    DSIR's log-product weight is a one-line swap (sum of log((cnt_t+1)/N_t
+    / ((cnt_r+1)/N_r))) where float tolerance is acceptable.
+
+    100 TB posture: the bucket-count pass is a groupBy over at most
+    `n_buckets` keys (map-side combine collapses each task to <= n_buckets
+    rows before the shuffle); the scoring pass broadcasts the counts table
+    (n_buckets rows) and partially aggregates per doc before its shuffle,
+    so both shuffles are doc/bucket-sized, never feature-occurrence-sized.
+    No driver collect. Output: id, n_feats, sum_t, sum_r, keep (docs with
+    zero tokens carry no evidence and are excluded).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    bigrams = F.when(
+        F.size("wd") >= 2,
+        F.zip_with(
+            F.slice(F.col("wd"), 1, F.size("wd") - 1),
+            F.slice(F.col("wd"), 2, F.size("wd") - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_t = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(id_col).cast("string"), F.lit(":" + salt + ":split")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(SPLIT_BUCKETS),
+        )
+        < target_bp
+    )
+    base = _spread_small_input(docs).select(
+        F.col(id_col).alias("id"), toks.alias("wd"), is_t.alias("is_t")
+    )
+    ex = base.select(
+        "id",
+        "is_t",
+        F.explode(F.concat(F.col("wd"), bigrams)).alias("f"),
+    ).select(
+        "id",
+        "is_t",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("f"), F.lit(":" + salt))), 1, 12),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+    counts = ex.groupBy("b").agg(
+        F.count("*").cast("long").alias("cnt_r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("cnt_t"),
+    )
+    totals = counts.agg(
+        (F.sum("cnt_r") + n_buckets).cast("long").alias("n_r"),
+        (F.sum("cnt_t") + n_buckets).cast("long").alias("n_t"),
+    )
+    scored = (
+        ex.join(F.broadcast(counts), on="b")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt_t") + 1).cast("long").alias("sum_t"),
+            F.sum(F.col("cnt_r") + 1).cast("long").alias("sum_r"),
+        )
+    )
+    dec = "decimal(38,0)"
+    return scored.crossJoin(F.broadcast(totals)).select(
+        "id",
+        "n_feats",
+        "sum_t",
+        "sum_r",
+        (
+            F.col("sum_t").cast(dec) * F.col("n_r").cast(dec)
+            >= F.col("sum_r").cast(dec) * F.col("n_t").cast(dec)
+        ).alias("keep"),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The counting step of BPE tokenizer training (Sennrich et al. 2016):
+    the corpus-wide frequency of every adjacent character pair inside
+    whitespace words, lowercased — iteration 1 of the merge loop picks the
+    argmax of exactly this table (ties broken by pair text ascending so the
+    winner is deterministic on any partitioning; subsequent iterations
+    re-run the same count over the re-segmented vocabulary).
+
+    100 TB posture: the corpus collapses to the distinct-word vocabulary
+    FIRST (one groupBy with map-side combine — the classic word-count
+    shuffle, vocabulary-sized not corpus-sized); pair explosion then runs
+    over vocabulary rows only (a few million rows regardless of corpus
+    size), and the final groupBy(pair) key space is bounded by alphabet².
+    Top-k is a TakeOrdered, no full sort. Output: pair, n_occurrences,
+    n_words."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    vocab = (
+        _spread_small_input(docs)
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)),
+    )
+    per_word = (
+        vocab.filter(F.length("w") >= 2)
+        .select("w", "c", F.explode(grams).alias("pair"))
+        .groupBy("w", "c", "pair")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    return (
+        per_word.groupBy("pair")
+        .agg(
+            F.sum(F.col("c") * F.col("k")).cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
+def hard_negatives(
+    embs: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    lo: float = 0.0,
+    hi: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining for embedding-model training
+    (DPR-style, Karpukhin et al. 2020): for each query vector, the top-k
+    candidates whose cosine falls in [lo, hi) — similar enough to be
+    confusable (random in-batch negatives are too easy), but below the
+    near-duplicate band where a "negative" is really an unlabeled positive
+    that would poison the loss.
+
+    100 TB posture: identical to ann_topk — broadcast query side, JVM
+    integer dot products, and the band filter runs BEFORE the rank window
+    so near-dup rows never enter the top-k sort. At corpus scale, swap the
+    brute-force candidate leg for ivf_topk / lsh_bucketed_ann cells and
+    mine within the probed buckets only. Output: q_id, c_id, cos_x10000,
+    rnk."""
+    q = embs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embs.filter(F.col(id_col) >= n_queries).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    out = cosine_topk(q, c, k=k, band=(lo, hi))
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("c_id").cast("long").alias("c_id"),
+        F.round(F.col("cos") * 10000).cast("long").alias("cos_x10000"),
+        "rnk",
+    )

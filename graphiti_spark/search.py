@@ -219,11 +219,15 @@ def cosine_topk(
     candidates: DataFrame,
     k: int = 10,
     min_score: float | None = None,
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """queries(q_id, q_vec) × candidates(c_id, c_vec) -> top-k by cosine.
 
     Broadcast the query side (small); the candidate scan stays JVM-side —
-    zip_with/aggregate, no Python. Output: q_id, c_id, cos(double), rnk.
+    zip_with/aggregate, no Python. `band=(lo, hi)` restricts to
+    lo <= cos < hi BEFORE the rank window (hard-negative mining's
+    confusable-but-not-duplicate band). Output: q_id, c_id, cos(double),
+    rnk.
     """
     q = F.broadcast(
         queries.select(
@@ -239,6 +243,9 @@ def cosine_topk(
     )
     if min_score is not None:
         pairs = pairs.filter(F.col("cos") > min_score)
+    if band is not None:
+        lo, hi = band
+        pairs = pairs.filter((F.col("cos") >= lo) & (F.col("cos") < hi))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
