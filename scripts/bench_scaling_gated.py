@@ -153,6 +153,16 @@ def one_run(cpus: int, pages: int, pages_dir: str, quiet: float | None) -> dict:
     steal_pct = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 3)
     ext_max = max(samples) if samples else 0
     ext_mean = round(sum(samples) / len(samples), 3) if samples else 0.0
+    # run-length-invariant burst measure (protocol v5.1): the FRACTION of
+    # 5 s samples that saw >1 external running thread — ext_max alone
+    # scales with window length (an 80-sample lo run is ~3x as likely to
+    # catch one 2-thread blip as a 25-sample hi run at identical host
+    # activity)
+    ext_frac_gt1 = (
+        round(sum(1 for s in samples if s > 1) / len(samples), 4)
+        if samples
+        else 0.0
+    )
     for line in stdout.splitlines():
         if line.startswith("WORKER_RESULT "):
             r = json.loads(line[len("WORKER_RESULT "):])["runs"][0]
@@ -165,6 +175,7 @@ def one_run(cpus: int, pages: int, pages_dir: str, quiet: float | None) -> dict:
                 "steal_pct": steal_pct,
                 "ext_max": ext_max,
                 "ext_mean": ext_mean,
+                "ext_frac_gt1": ext_frac_gt1,
                 "n_samples": len(samples),
             }
     raise RuntimeError(
