@@ -938,6 +938,27 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call curation cascade (lang gate -> quality gate -> exact-dup
+    canonical -> host cap -> split) with the full drop-reason trail; the
+    twin chains the same five stages as SQL CTEs."""
+    return dataops.curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        per_host=10,
+        min_tokens=5,
+        min_uniq_ratio_x1e6=400_000,
+    )
+
+
+def _chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window LM-pretraining chunks (max_len 64, stride 48) over
+    the documents table; integer start/count arithmetic plus an md5 of
+    each token window, so the twin replays every chunk bit-for-bit."""
+    return dataops.chunk_sequences(
+        _t(spark, sf_dir, "documents"), max_len=64, stride=48
+    )
+
+
 def _pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round integer PageRank over the region->nation->customer
     tree (the same edge set as graph_bfs); all-integer update rule, so
@@ -1189,6 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_pairs": _semantic_dedup_pairs,
         "host_cap": _host_cap,
         "pack_sequences": _pack_sequences,
+        "chunk_sequences": _chunk_sequences,
+        "curate_corpus": _curate_corpus,
         "pagerank_graph": _pagerank_graph,
         "url_dedup": _url_dedup,
         "line_dedup": _line_dedup,
@@ -1974,6 +1997,73 @@ _ORACLES: dict[str, str] = {
     """,
     "semantic_dedup_pairs": _semantic_dedup_oracle(threshold=0.3),
     "pack_sequences": _pack_sequences_oracle(budget=512, n_shards=8),
+    "curate_corpus": f"""
+        WITH t AS (
+            SELECT doc_id, source AS host, md5(text) AS fp,
+                   CAST(length(text) AS BIGINT) AS ord,
+                   {_TOKS} AS toks
+            FROM documents),
+        g AS (
+            SELECT doc_id, host, fp, ord,
+                   (CASE WHEN len(toks) > 0
+                         THEN CAST(len(list_filter(toks, x -> list_contains(
+                                  ['the','a','an','of','and','to','in','is','was','for'],
+                                  lower(x)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END) >= 0.05 AS lang_ok,
+                   (len(toks) >= 5 AND
+                    (CASE WHEN len(toks) > 0
+                          THEN CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                                          / CAST(len(toks) AS DOUBLE) * 1000000) AS BIGINT)
+                          ELSE 0 END) >= 400000) AS quality_ok
+            FROM t),
+        h AS (
+            SELECT *, min(CASE WHEN lang_ok AND quality_ok THEN doc_id END)
+                          OVER (PARTITION BY fp) AS canon_id
+            FROM g),
+        i AS (
+            SELECT *, (lang_ok AND quality_ok AND doc_id = canon_id) AS is_canonical
+            FROM h),
+        j AS (
+            SELECT *, sum(CASE WHEN is_canonical THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY host ORDER BY ord DESC, doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS crank
+            FROM i),
+        k AS (
+            SELECT *, CASE WHEN is_canonical THEN CAST(crank AS BIGINT) END AS host_rank,
+                   (is_canonical AND crank <= 10) AS keep,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                        AS BIGINT) % 10000 AS bucket
+            FROM j)
+        SELECT doc_id, host, lang_ok, quality_ok, is_canonical, host_rank, keep,
+               CASE WHEN keep THEN
+                    (CASE WHEN bucket < 9000 THEN 'train'
+                          WHEN bucket < 9500 THEN 'val'
+                          ELSE 'test' END)
+               END AS split
+        FROM k
+    """,
+    "chunk_sequences": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS wd
+            FROM documents),
+        s AS (SELECT doc_id, wd, CAST(len(wd) AS BIGINT) AS n
+              FROM t WHERE len(wd) > 0),
+        c AS (SELECT doc_id, wd, n,
+                     unnest(range(0, 1 + (greatest(n - 64, 0) + 47) // 48)) AS i
+              FROM s),
+        d AS (SELECT doc_id, wd, n,
+                     CAST(i AS BIGINT) AS chunk_idx,
+                     CAST(i * 48 + 1 AS BIGINT) AS start_tok
+              FROM c)
+        SELECT doc_id, chunk_idx, start_tok,
+               CAST(least(64, n - start_tok + 1) AS BIGINT) AS n_toks,
+               md5(array_to_string(
+                   wd[start_tok:start_tok + least(64, n - start_tok + 1) - 1],
+                   ' ')) AS chunk_md5
+        FROM d
+    """,
     "pagerank_graph": _pagerank_oracle(rounds=3),
     "host_cap": """
         SELECT doc_id, host, host_rank FROM (

@@ -56,6 +56,8 @@ HEADLINE = [
     "semantic_dedup_pairs",
     "host_cap",
     "pack_sequences",
+    "chunk_sequences",
+    "curate_corpus",
     "pagerank_graph",
     "url_dedup",
     "line_dedup",
@@ -63,6 +65,9 @@ HEADLINE = [
     "pii_redact",
     "winnow_dup_spans",
     "quality_classifier",
+    "dsir_importance",
+    "bpe_merge_pairs",
+    "hard_negatives",
     "episode_window_counts",
     "audio_decode_stats",
     "video_frame_luma",

@@ -2324,6 +2324,126 @@ def host_cap(
     )
 
 
+def curate_corpus(
+    docs: DataFrame,
+    per_host: int = 50,
+    min_tokens: int = 5,
+    min_uniq_ratio_x1e6: int = 200_000,
+    split_weights: dict[str, float] | None = None,
+    salt: str = "",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    host_col: str = "source",
+) -> DataFrame:
+    """The full curation recipe as ONE call — the cascade every
+    training-data pipeline runs, composed from this module's building
+    blocks with bit-identical per-stage semantics:
+
+      1. language gate   (lang_id's stopword-ratio rule)
+      2. quality gate    (quality_scores' token-count + distinct-ratio rule)
+      3. exact-dup canonicalization among gate survivors
+         (exact_dedup's md5(text) key, min-id winner)
+      4. per-host cap among canonical docs
+         (host_cap's (length DESC, id ASC) rank, length(text) as the
+         order key so the recipe needs no extra input columns)
+      5. deterministic split assignment for kept docs
+         (hash_split's md5 basis-point buckets)
+
+    One row per INPUT document with the full drop-reason trail —
+    (doc_id, host, lang_ok, quality_ok, is_canonical, host_rank, keep,
+    split) — so corpus-loss accounting per stage is one groupBy away.
+
+    100 TB posture: gates 1-2 are map-side column expressions; stages 3-4
+    are two window shuffles (fp, host). The host rank is a conditional
+    running count over the host window, which keeps the whole recipe a
+    closed-form SQL expression (the DuckDB twin replays every row); a hub
+    host at corpus scale takes host_cap's lossless map-side prefilter as
+    a drop-in in front of stage 4 without changing any kept row. No
+    Python, no collect, no join."""
+    if split_weights is None:
+        split_weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if per_host < 1:
+        raise ValueError("per_host must be >= 1")
+    cum, bounds = 0, []
+    for name, wt in split_weights.items():
+        cum += int(round(wt * SPLIT_BUCKETS))
+        bounds.append((name, cum))
+    if bounds[-1][1] != SPLIT_BUCKETS:
+        raise ValueError("split_weights must sum to 1.0 (in 1e-4 steps)")
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    stops = F.filter(toks, lambda x: F.lower(x).isin(EN_STOPWORDS))
+    n_tok = F.size(toks)
+    ratio = F.when(
+        n_tok > 0, F.size(stops).cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    uniq_x1e6 = (
+        F.when(
+            n_tok > 0,
+            F.round(
+                F.size(F.array_distinct(toks)).cast("double")
+                / n_tok.cast("double")
+                * 1000000
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    base = _spread_small_input(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.md5(F.col(text_col)).alias("fp"),
+        F.length(F.col(text_col)).cast("long").alias("ord"),
+        (ratio >= LANG_ID_THRESHOLD).alias("lang_ok"),
+        ((n_tok >= min_tokens) & (uniq_x1e6 >= min_uniq_ratio_x1e6)).alias(
+            "quality_ok"
+        ),
+    )
+    gate = F.col("lang_ok") & F.col("quality_ok")
+    base = base.withColumn(
+        "canon_id",
+        F.min(F.when(gate, F.col("doc_id"))).over(Window.partitionBy("fp")),
+    ).withColumn("is_canonical", gate & (F.col("doc_id") == F.col("canon_id")))
+    whost = (
+        Window.partitionBy("host")
+        .orderBy(F.desc("ord"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = base.withColumn(
+        "host_rank",
+        F.when(
+            F.col("is_canonical"),
+            F.sum(F.when(F.col("is_canonical"), 1).otherwise(0))
+            .over(whost)
+            .cast("long"),
+        ),
+    )
+    keep = F.col("is_canonical") & (F.col("host_rank") <= per_host)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(SPLIT_BUCKETS),
+    )
+    split = F.lit(bounds[-1][0])
+    for name, hi in reversed(bounds[:-1]):
+        split = F.when(bucket < hi, F.lit(name)).otherwise(split)
+    return base.select(
+        "doc_id",
+        "host",
+        "lang_ok",
+        "quality_ok",
+        "is_canonical",
+        "host_rank",
+        keep.alias("keep"),
+        F.when(keep, split).alias("split"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # greedy sequence packing (training-batch assembly: fill fixed token budgets)
 # ---------------------------------------------------------------------------
@@ -2392,6 +2512,62 @@ def pack_sequences(
 
     return base.groupBy("shard").applyInPandas(
         _pack, schema="doc_id long, shard long, seq_id long, n_tokens long"
+    )
+
+
+def chunk_sequences(
+    docs: DataFrame,
+    max_len: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window training chunks: split every document into token
+    windows of `max_len` whitespace tokens starting every `stride` tokens
+    (stride < max_len gives overlapping context windows, the standard
+    LM-pretraining chunking; stride == max_len gives disjoint blocks).
+
+    Chunk starts are 1, 1+stride, 1+2*stride, ...; the number of chunks is
+    1 + ceil(max(0, n - max_len) / stride) in pure integer arithmetic, so
+    every token is covered, the final chunk may be shorter than max_len,
+    and no chunk starts past the end. Output one row per chunk:
+    (doc_id, chunk_idx, start_tok, n_toks, chunk_md5) — the md5 of the
+    space-joined window stands in for the chunk payload so the row stays
+    narrow while remaining value-checkable.
+
+    100 TB posture: pure map-side column expressions (split → sequence →
+    posexplode → slice) in whole-stage codegen — no shuffle, no Python,
+    and fan-out is bounded at ~n_tokens/stride rows per document. Exact
+    integer semantics, so the DuckDB oracle replays it bit-for-bit."""
+    if max_len < 1 or stride < 1:
+        raise ValueError("max_len and stride must be >= 1")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    t = (
+        _spread_small_input(docs)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("wd"))
+        .filter(F.size("wd") > 0)
+        .select("doc_id", "wd", F.size("wd").cast("long").alias("n"))
+    )
+    n_extra = F.expr(f"(greatest(n - {max_len}, 0) + {stride - 1}) div {stride}")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_extra.cast("int")),
+        lambda i: (i * stride + 1).cast("long"),
+    )
+    e = t.select(
+        "doc_id",
+        "wd",
+        "n",
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    n_toks = F.least(F.lit(max_len).cast("long"), F.col("n") - F.col("start_tok") + 1)
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "start_tok",
+        n_toks.alias("n_toks"),
+        F.md5(
+            F.array_join(F.slice("wd", F.col("start_tok").cast("int"), n_toks.cast("int")), " ")
+        ).alias("chunk_md5"),
     )
 
 
