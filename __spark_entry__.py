@@ -938,6 +938,12 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew pre-flight over orders.o_custkey: top-20 hottest
+    keys with row count + corpus share (integer millionths)."""
+    return dataops.skew_profile(_t(spark, sf_dir, "orders"), "o_custkey", top_k=20)
+
+
 def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-call curation cascade (lang gate -> quality gate -> exact-dup
     canonical -> host cap -> split) with the full drop-reason trail; the
@@ -1212,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "chunk_sequences": _chunk_sequences,
         "curate_corpus": _curate_corpus,
+        "skew_profile": _skew_profile,
         "pagerank_graph": _pagerank_graph,
         "url_dedup": _url_dedup,
         "line_dedup": _line_dedup,
@@ -1997,6 +2004,17 @@ _ORACLES: dict[str, str] = {
     """,
     "semantic_dedup_pairs": _semantic_dedup_oracle(threshold=0.3),
     "pack_sequences": _pack_sequences_oracle(budget=512, n_shards=8),
+    "skew_profile": """
+        WITH b AS (SELECT CAST(o_custkey AS VARCHAR) AS key,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM orders GROUP BY 1),
+        t AS (SELECT sum(n) AS total FROM b)
+        SELECT key, n,
+               CAST(round(n * 1000000.0 / total) AS BIGINT) AS share_x1e6
+        FROM b, t
+        ORDER BY n DESC, key ASC
+        LIMIT 20
+    """,
     "curate_corpus": f"""
         WITH t AS (
             SELECT doc_id, source AS host, md5(text) AS fp,

@@ -58,6 +58,7 @@ HEADLINE = [
     "pack_sequences",
     "chunk_sequences",
     "curate_corpus",
+    "skew_profile",
     "pagerank_graph",
     "url_dedup",
     "line_dedup",

@@ -2324,6 +2324,39 @@ def host_cap(
     )
 
 
+def skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 20
+) -> DataFrame:
+    """Shuffle-key skew profiler: the `top_k` hottest values of `key_col`
+    with row count and corpus share — the pre-flight check before any
+    large join/groupBy (a key holding more than ~1/parallelism of the
+    rows straggles its reducer: salt it, or let AQE's skew-join split it).
+
+    100 TB posture: one partial-aggregatable groupBy (hot keys combine
+    map-side, so the shuffle carries one row per key per task), a
+    1-row broadcast for the total, and a TakeOrdered top-k — no full
+    sort. Ties break by key text ascending, so the result set is
+    deterministic on any partitioning. Output: key, n, share_x1e6."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    base = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = base.agg(F.sum("n").alias("total"))
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") * 1000000.0 / F.col("total"))
+            .cast("long")
+            .alias("share_x1e6"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(top_k)
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     per_host: int = 50,

@@ -36,18 +36,21 @@ def load_pairs(path: str) -> list[dict]:
 
 
 def analyze(pairs: list[dict]) -> dict:
-    all_runs = [p["lo"] for p in pairs] + [r for p in pairs for r in p["hi"]]
+    all_runs = [p["lo"] for p in pairs] + [
+        r for p in pairs for r in (p["hi"] if isinstance(p["hi"], list) else [p["hi"]])
+    ]
     mops = [r["cpu_mops"] for r in all_runs if r["cpu_mops"] > 0]
     ref = statistics.median(mops) if mops else 0.0
     rows = []
     for p in pairs:
         lo = p["lo"]
+        his = p["hi"] if isinstance(p["hi"], list) else [p["hi"]]
 
         def norm(r):
             return r["sec"] * (r["cpu_mops"] / ref) if ref and r["cpu_mops"] else None
 
         lo_n = norm(lo)
-        hi_n = [norm(r) for r in p["hi"]]
+        hi_n = [norm(r) for r in his]
         hi_n_ok = [x for x in hi_n if x is not None]
         eff_n = (
             round((lo_n / statistics.median(hi_n_ok)) / 4.0, 3)
@@ -66,8 +69,8 @@ def analyze(pairs: list[dict]) -> dict:
                     "speed": p["speed_ok"],
                 },
                 "lo_sec": lo["sec"],
-                "hi_secs": [r["sec"] for r in p["hi"]],
-                "probes_mops": [lo["cpu_mops"]] + [r["cpu_mops"] for r in p["hi"]],
+                "hi_secs": [r["sec"] for r in his],
+                "probes_mops": [lo["cpu_mops"]] + [r["cpu_mops"] for r in his],
             }
         )
     q = [r["eff_raw"] for r in rows if r["qualifies"]]

@@ -1021,3 +1021,18 @@ def test_quality_classifier_python_replay(spark):
         assert got[empty_id]["keep"] is True
     # repeated tokens count every occurrence (bag, not set)
     assert got[3]["w_sum"] == 2 * wgt("alpha")
+
+
+# ---------------------------------------------------------------------------
+# shuffle-key skew profiler
+# ---------------------------------------------------------------------------
+
+
+def test_skew_profile_counts_shares_and_tiebreak(spark):
+    rows = [(i, "hot") for i in range(6)] + [(10, "warm"), (11, "warm"), (12, "aa"), (13, "ab")]
+    df = spark.createDataFrame(rows, schema="id long, k string")
+    got = D.skew_profile(df, "k", top_k=3).collect()
+    assert [(r.key, r.n) for r in got] == [("hot", 6), ("warm", 2), ("aa", 1)]
+    assert got[0].share_x1e6 == round(6 * 1000000.0 / 10)
+    # boundary tie ("aa" vs "ab") resolves by key text ascending
+    assert got[2].key == "aa"
