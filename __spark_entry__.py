@@ -1177,12 +1177,28 @@ def _bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered deliberately: the driver's correctness harness checks the
+    # FIRST 50 entries only, so (1) entries never driver-verified in any
+    # prior round come first, (2) new this-round entries next, (3) the
+    # repeatedly-green suite, and (4) at the tail the three rows-only
+    # `no_oracle` kg_* views (their `_closed` twins up front carry the
+    # value check) plus the simplest map-side ops that went green in both
+    # rounds 3 and 4.
     return {
-        "kg_pipeline_edges": _kg_pipeline_edges,
+        # -- never/r3-only driver-checked (VERDICT r4 "What's missing" #1) --
+        "hard_negatives": _hard_negatives,
+        "episode_window_counts": _episode_window_counts,
+        "audio_decode_stats": _audio_decode_stats,
+        "video_frame_luma": _video_frame_luma,
+        "image_decode_stats": _image_decode_stats,
+        "bm25_term_scores": _bm25_term_scores,
+        "rrf_fusion": _rrf_fusion,
+        "graph_bfs": _graph_bfs,
+        "keyset_pagination": _keyset_pagination,
+        "edge_hybrid_candidates": _edge_hybrid_candidates,
+        # -- core suite (green r4) --
         "kg_pipeline_edges_closed": _kg_pipeline_edges_closed,
-        "kg_top_predicates": _kg_top_predicates,
         "kg_top_predicates_closed": _kg_top_predicates_closed,
-        "kg_communities": _kg_communities,
         "kg_communities_closed": _kg_communities_closed,
         "prev_episodes_topk": _prev_episodes_topk,
         "episode_retrieval": _episode_retrieval,
@@ -1200,17 +1216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
-        "lang_id": _lang_id,
-        "quality_scores": _quality_scores,
-        "token_stats": _token_stats,
-        "doc_fingerprint": _doc_fingerprint,
-        "repetition_scores": _repetition_scores,
-        "bpe_token_count": _bpe_token_count,
-        "hash_split": _hash_split,
         "stratified_sample": _stratified_sample,
         "top_ngrams": _top_ngrams,
         "kmeans_clusters": _kmeans_clusters,
-        "unigram_surprisal": _unigram_surprisal,
         "dedup_cluster_canonical": _dedup_cluster_canonical,
         "graph_snapshot_at": _graph_snapshot_at,
         "semantic_dedup_pairs": _semantic_dedup_pairs,
@@ -1225,19 +1233,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontam": _ngram_decontam,
         "pii_redact": _pii_redact,
         "winnow_dup_spans": _winnow_dup_spans,
-        "quality_classifier": _quality_classifier,
         "dsir_importance": _dsir_importance,
         "bpe_merge_pairs": _bpe_merge_pairs,
-        "hard_negatives": _hard_negatives,
-        "bm25_term_scores": _bm25_term_scores,
-        "rrf_fusion": _rrf_fusion,
-        "episode_window_counts": _episode_window_counts,
-        "edge_hybrid_candidates": _edge_hybrid_candidates,
-        "graph_bfs": _graph_bfs,
-        "keyset_pagination": _keyset_pagination,
-        "audio_decode_stats": _audio_decode_stats,
-        "video_frame_luma": _video_frame_luma,
-        "image_decode_stats": _image_decode_stats,
+        # -- tail: beyond the 50-row cap -------------------------------
+        # rows-only views whose value checks ride on the _closed twins
+        "kg_pipeline_edges": _kg_pipeline_edges,
+        "kg_top_predicates": _kg_top_predicates,
+        "kg_communities": _kg_communities,
+        # simplest map-side ops, hash-green in BOTH r3 and r4
+        "lang_id": _lang_id,
+        "quality_scores": _quality_scores,
+        "token_stats": _token_stats,
+        "doc_fingerprint": _doc_fingerprint,
+        "repetition_scores": _repetition_scores,
+        "bpe_token_count": _bpe_token_count,
+        "hash_split": _hash_split,
+        "unigram_surprisal": _unigram_surprisal,
+        "quality_classifier": _quality_classifier,
     }
 
 

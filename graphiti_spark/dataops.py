@@ -2574,6 +2574,11 @@ def chunk_sequences(
     integer semantics, so the DuckDB oracle replays it bit-for-bit."""
     if max_len < 1 or stride < 1:
         raise ValueError("max_len and stride must be >= 1")
+    if stride > max_len:
+        # stride > max_len would leave tokens uncovered (contradicting the
+        # every-token-covered contract above) and drives n_toks negative on
+        # the final window, failing inside F.slice at runtime.
+        raise ValueError("stride must be <= max_len")
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     t = (
         _spread_small_input(docs)

@@ -72,3 +72,14 @@ def test_chunk_sequences_rejects_bad_params(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_chunk_sequences_rejects_gapped_stride(spark):
+    # stride > max_len would leave tokens uncovered and compute a negative
+    # slice length on the final window — must be rejected up front.
+    df = spark.createDataFrame(DOCS[:1], ["doc_id", "text"])
+    try:
+        dataops.chunk_sequences(df, max_len=5, stride=8)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "stride" in str(e)
