@@ -399,6 +399,89 @@ def closed_form_pages(orders_df):
     )
 
 
+def closed_form_pages_fuzzy(orders_df):
+    """closed_form_pages variant that PLANTS fuzzy node duplicates with a
+    closed form — the basis of the kg_pipeline_edges_fuzzy_closed DuckDB
+    value oracle (round-4 verdict ask #3: drive D2-D9/T4-T5 through the
+    REAL run_pipeline with a value-checkable twin; ref semantics
+    /root/reference/graphiti_core/utils/maintenance/dedup_helpers.py:198-246).
+
+    Deltas vs closed_form_pages, per orders row
+    (k=o_orderkey, c=o_custkey, r=k%40, s=(c%1000)*37+r,
+    v=((c div 8) + r) % 2 — the parity of c div 8, NOT of c: customers in
+    a group share c % 8, so c's own parity is constant per group while
+    (c div 8) % 2 alternates, guaranteeing both spellings co-occur):
+
+      org surface  v=0: 'Orgunit K<r:02d> Corp'  (spaced, 3 tokens)
+                   v=1: 'Orgunit-K<r:02d>-Corp'  (hyphenated, 1 token)
+      zone index   z = 2*(s%6) + v  (zone parity == spelling parity)
+      tense/date   unchanged (t=s%8, same date formula); k%3 case variant
+                   unchanged (exact-dup leg keeps its work)
+
+    Why the fuzzy leg's outcome is CLOSED FORM: the two org spellings have
+    different normalize_exact keys but the SAME normalize_fuzzy form
+    ('orgunit k<r> corp'), hence IDENTICAL char-3-gram shingle sets —
+    Jaccard exactly 1.0 and bit-identical minhash signatures / LSH band
+    keys, so candidacy is structural, not hash luck. Every other distinct
+    pair stays <= ~0.75 by closed_form_pages' separator-anchoring argument
+    (unchanged here). The merged pair set is therefore exactly the
+    same-(group, fuzzy-norm) classes, and the canonical display name is
+    min(norm_exact) over the class (build_canonical_nodes) — all
+    SQL-recomputable. Asserted against the real LSH leg at driver scale in
+    tests/test_closed_oracle_fuzzy.py.
+
+    Why the EDGE near-dup leg stays inert: a WORKS_AT fact is a pure
+    function of (c, r) — v is fixed per endpoint pair — and a BASED_IN
+    endpoint pair (org, zone) only ever receives the spelling of the
+    zone's parity, so every post-T1 endpoint pair still carries exactly
+    ONE norm_fact and T4/T5 has zero candidates (also asserted)."""
+    from pyspark.sql import functions as F
+
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    df = orders_df.select(
+        k.alias("k"),
+        c.alias("c"),
+        (k % 40).alias("r"),
+        ((c % 1000) * 37 + (k % 40)).alias("s"),
+        # (c div 8) % 2 as exact integer arithmetic: (c % 16) >= 8
+        ((F.when(c % 16 >= 8, 1).otherwise(0) + k % 40) % 2).alias("v"),
+    )
+    s = F.col("s")
+    t = s % 8
+    date_str = F.format_string(
+        "2024-%02d-%02d",
+        (F.lit(1) + s % 12).cast("int"),
+        (F.lit(1) + (s * 7) % 28).cast("int"),
+    )
+    pad = F.format_string("%06d", F.col("c"))
+    person = F.concat(
+        F.lit("Pat C"),
+        F.substring(pad, 1, 1), F.lit("b"), F.substring(pad, 2, 1), F.lit("d"),
+        F.substring(pad, 3, 1), F.lit("f"), F.substring(pad, 4, 1), F.lit("g"),
+        F.substring(pad, 5, 1), F.lit("h"), F.substring(pad, 6, 1),
+        F.lit(" Moreau"),
+    )
+    head = F.when(F.col("k") % 3 == 0, F.lit("ORGUNIT")).otherwise(F.lit("Orgunit"))
+    org = F.when(
+        F.col("v") == 1, F.concat(head, F.format_string("-K%02d-Corp", F.col("r")))
+    ).otherwise(F.concat(head, F.format_string(" K%02d Corp", F.col("r"))))
+    zone = F.format_string("Zone Z%02d Springs", (s % 6) * 2 + F.col("v"))
+    sent1 = (
+        F.when(t <= 5, F.concat(person, F.lit(" works at "), org, F.lit(".")))
+        .when(t == 6, F.concat(person, F.lit(" works at "), org, F.lit(" since "), date_str, F.lit(".")))
+        .otherwise(F.concat(person, F.lit(" worked at "), org, F.lit(" until "), date_str, F.lit(".")))
+    )
+    sent2 = F.concat(org, F.lit(" is based in "), zone, F.lit("."))
+    filler = F.when(s % 4 == 0, F.lit(" " + _FILLER[0])).otherwise(F.lit(""))
+    return df.select(
+        F.format_string("https://h%d.example/p%d", F.col("c") % 8, F.col("k")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("k") * 60).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(sent1, F.lit(" "), sent2, filler).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
 def write_web_pages_parquet(path: str, n_pages: int = 200, seed: int = 42) -> int:
     """Materialize the generator to a parquet file via pyarrow (no Spark)."""
     import pyarrow as pa

@@ -36,7 +36,7 @@ DRIVER_CC_MAX_PAIRS = 200_000
 def connected_components(
     pairs: DataFrame,
     max_rounds: int = MAX_ROUNDS,
-    driver_threshold: int = DRIVER_CC_MAX_PAIRS,
+    driver_threshold: int | None = None,
     known_count: int | None = None,
 ) -> DataFrame:
     """pairs(a string, b string) -> (id string, canonical string).
@@ -51,6 +51,10 @@ def connected_components(
     the threshold it switches to distributed min-label propagation with
     pointer jumping. Both produce the identical min-member canonical map.
     """
+    # None -> module constant, resolved at CALL time so tests can force the
+    # distributed branch by monkeypatching DRIVER_CC_MAX_PAIRS to 0
+    if driver_threshold is None:
+        driver_threshold = DRIVER_CC_MAX_PAIRS
     # callers that already materialized the pair list pass known_count:
     # the probe job (and its discarded collect on the distributed path) is
     # skipped entirely — important for scaling efficiency, since a collect

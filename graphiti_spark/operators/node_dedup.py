@@ -109,7 +109,7 @@ def _driver_fuzzy_pairs(rows) -> list[tuple[str, str]]:
 
 def fuzzy_duplicate_pairs(
     keys: DataFrame,
-    driver_threshold: int = DRIVER_FUZZY_MAX_KEYS,
+    driver_threshold: int | None = None,
     known_count: int | None = None,
 ) -> DataFrame:
     """LSH band join + Jaccard >= 0.9 over high-entropy distinct names.
@@ -120,6 +120,10 @@ def fuzzy_duplicate_pairs(
     distributed LSH band join below runs. Callers that already counted the
     (persisted) keys pass `known_count` so the distributed path never pays
     a probe collect."""
+    # None -> module constant, resolved at CALL time so tests can force the
+    # distributed branch by monkeypatching DRIVER_FUZZY_MAX_KEYS to 0
+    if driver_threshold is None:
+        driver_threshold = DRIVER_FUZZY_MAX_KEYS
     if driver_threshold > 0:
         if known_count is not None:
             if known_count > driver_threshold:
