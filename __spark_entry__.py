@@ -227,6 +227,24 @@ def _kg_pipeline_edges_fuzzy_closed(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _kg_duplicate_pairs_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized IS_DUPLICATE_OF pair table (ref
+    edge_operations.py:609-670) over the fuzzy closed corpus, projected to
+    its deterministic name-level identity: each merged 2-member class
+    yields exactly one (group, lesser-name, greater-name) row. The
+    least/greatest fold over (duplicate_name, canonical_key_name) erases
+    the sha1 ordering that decides WHICH member's uuid canonicalizes, so
+    the row set is pure construction — replayed by the DuckDB twin as the
+    same-(group, fuzzy-form) classes of size 2."""
+    result = _closed_fuzzy_result(spark, sf_dir)
+    d = result["duplicate_pairs"]
+    return d.select(
+        "group_id",
+        F.least("duplicate_name", "canonical_key_name").alias("name_a"),
+        F.greatest("duplicate_name", "canonical_key_name").alias("name_b"),
+    )
+
+
 def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3/G4: label-propagation communities over the constructed graph."""
     from graphiti_spark.operators.communities import build_community_tables
@@ -1257,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_hybrid_candidates": _edge_hybrid_candidates,
         # -- new this round --
         "kg_pipeline_edges_fuzzy_closed": _kg_pipeline_edges_fuzzy_closed,
+        "kg_duplicate_pairs_closed": _kg_duplicate_pairs_closed,
         # -- core suite (green r4) --
         "kg_pipeline_edges_closed": _kg_pipeline_edges_closed,
         "kg_top_predicates_closed": _kg_top_predicates_closed,
@@ -1393,30 +1412,10 @@ def _kg_closed_fuzzy_oracle() -> str:
       hash-ordered, hence SQL-recomputable), applied to subj/obj BEFORE
       the T1/T6/T7 algebra exactly like the D15 pointer rewrite.
     """
-    prefix = """o AS (SELECT o_orderkey AS k, o_custkey AS c,
-                          (o_orderkey % 40) AS r,
-                          ((o_custkey % 1000) * 37 + (o_orderkey % 40)) AS s
-                   FROM orders),
-        p AS (SELECT k, c, r, s, (s % 8) AS t, (((CASE WHEN c % 16 >= 8 THEN 1 ELSE 0 END) + r) % 2) AS v,
-                     'h' || (c % 8)::VARCHAR || '.example' AS grp,
-                     'pat c' || substr(printf('%06d', c::INT), 1, 1) || 'b'
-                              || substr(printf('%06d', c::INT), 2, 1) || 'd'
-                              || substr(printf('%06d', c::INT), 3, 1) || 'f'
-                              || substr(printf('%06d', c::INT), 4, 1) || 'g'
-                              || substr(printf('%06d', c::INT), 5, 1) || 'h'
-                              || substr(printf('%06d', c::INT), 6, 1) || ' moreau' AS person,
-                     CASE WHEN ((CASE WHEN c % 16 >= 8 THEN 1 ELSE 0 END) + r) % 2 = 1
-                          THEN printf('orgunit-k%02d-corp', r::INT)
-                          ELSE printf('orgunit k%02d corp', r::INT) END AS org,
-                     printf('zone z%02d springs', ((s % 6) * 2 + ((CASE WHEN c % 16 >= 8 THEN 1 ELSE 0 END) + r) % 2)::INT) AS zone,
-                     printf('2024-%02d-%02d', (1 + s % 12)::INT, (1 + (s * 7) % 28)::INT) AS ds,
-                     make_timestamp(2024, (1 + s % 12)::BIGINT, (1 + (s * 7) % 28)::BIGINT, 0, 0, 0) AS dt,
-                     TIMESTAMP '2024-01-01 00:00:00' + to_minutes(k::BIGINT) AS wts
-              FROM o),
-        names AS (SELECT DISTINCT grp, nm FROM (
-                      SELECT grp, person AS nm FROM p
-                      UNION ALL SELECT grp, org FROM p
-                      UNION ALL SELECT grp, zone FROM p)),
+    return (
+        "WITH "
+        + _CLOSED_FUZZY_PAGES_CTE
+        + """,
         canon AS (SELECT grp, nm,
                          min(nm) OVER (PARTITION BY grp,
                              trim(regexp_replace(regexp_replace(nm,
@@ -1441,7 +1440,57 @@ def _kg_closed_fuzzy_oracle() -> str:
                    CASE WHEN min(t) = 6 THEN min(dt) ELSE min(wts) END AS valid_at,
                    CASE WHEN min(t) = 7 THEN min(dt) END AS inv_ext
             FROM raw GROUP BY 1, 2, 3, 4, 5)"""
-    return "WITH " + prefix + _CLOSED_ALGEBRA_TAIL
+        + _CLOSED_ALGEBRA_TAIL
+    )
+
+
+def _kg_duplicate_pairs_oracle() -> str:
+    """DuckDB twin of _kg_duplicate_pairs_closed: the IS_DUPLICATE_OF pair
+    table at its name-level identity — the same-(group, normalize_fuzzy)
+    classes of exactly two distinct exact keys, emitted as
+    (group, min-name, max-name)."""
+    return (
+        "WITH "
+        + _CLOSED_FUZZY_PAGES_CTE
+        + """,
+        cls AS (SELECT grp, min(nm) AS name_a, max(nm) AS name_b,
+                       count(*) AS n
+                FROM (SELECT DISTINCT grp, nm,
+                             trim(regexp_replace(regexp_replace(nm,
+                                  '[^a-z0-9'' ]', ' ', 'g'), ' +', ' ', 'g')) AS fz
+                      FROM names)
+                GROUP BY grp, fz)
+        SELECT grp AS group_id, name_a, name_b FROM cls WHERE n = 2
+    """
+    )
+
+
+# orders -> pages -> distinct names: the shared head of the fuzzy closed
+# oracles (datagen.closed_form_pages_fuzzy mirrored in SQL)
+_CLOSED_FUZZY_PAGES_CTE = """o AS (SELECT o_orderkey AS k, o_custkey AS c,
+                          (o_orderkey % 40) AS r,
+                          ((o_custkey % 1000) * 37 + (o_orderkey % 40)) AS s
+                   FROM orders),
+        p AS (SELECT k, c, r, s, (s % 8) AS t, (((CASE WHEN c % 16 >= 8 THEN 1 ELSE 0 END) + r) % 2) AS v,
+                     'h' || (c % 8)::VARCHAR || '.example' AS grp,
+                     'pat c' || substr(printf('%06d', c::INT), 1, 1) || 'b'
+                              || substr(printf('%06d', c::INT), 2, 1) || 'd'
+                              || substr(printf('%06d', c::INT), 3, 1) || 'f'
+                              || substr(printf('%06d', c::INT), 4, 1) || 'g'
+                              || substr(printf('%06d', c::INT), 5, 1) || 'h'
+                              || substr(printf('%06d', c::INT), 6, 1) || ' moreau' AS person,
+                     CASE WHEN ((CASE WHEN c % 16 >= 8 THEN 1 ELSE 0 END) + r) % 2 = 1
+                          THEN printf('orgunit-k%02d-corp', r::INT)
+                          ELSE printf('orgunit k%02d corp', r::INT) END AS org,
+                     printf('zone z%02d springs', ((s % 6) * 2 + ((CASE WHEN c % 16 >= 8 THEN 1 ELSE 0 END) + r) % 2)::INT) AS zone,
+                     printf('2024-%02d-%02d', (1 + s % 12)::INT, (1 + (s * 7) % 28)::INT) AS ds,
+                     make_timestamp(2024, (1 + s % 12)::BIGINT, (1 + (s * 7) % 28)::BIGINT, 0, 0, 0) AS dt,
+                     TIMESTAMP '2024-01-01 00:00:00' + to_minutes(k::BIGINT) AS wts
+              FROM o),
+        names AS (SELECT DISTINCT grp, nm FROM (
+                      SELECT grp, person AS nm FROM p
+                      UNION ALL SELECT grp, org FROM p
+                      UNION ALL SELECT grp, zone FROM p))"""
 
 
 def _closed_cte_prefix() -> str:
@@ -1985,6 +2034,7 @@ _ORACLES: dict[str, str] = {
     """,
     "kg_pipeline_edges_closed": _kg_closed_oracle(),
     "kg_pipeline_edges_fuzzy_closed": _kg_closed_fuzzy_oracle(),
+    "kg_duplicate_pairs_closed": _kg_duplicate_pairs_oracle(),
     "kg_top_predicates_closed": (
         "SELECT predicate, count(*) AS n_edges FROM ("
         + _kg_closed_oracle()

@@ -144,6 +144,56 @@ def extract_mentions(text: str) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# E2 — reflexion second pass ("missed entities")
+# ---------------------------------------------------------------------------
+
+# Naming-cue pattern: lowercase names the capitalized-mention pass cannot
+# see, introduced by an explicit cue ("the startup called acme labs").
+# Capture is capped at TWO tokens: lowercase spans carry no capitalization
+# boundary, so a longer window would swallow the following verb.
+_REFLEXION_CUE = re.compile(
+    r"\b(?:called|named|known as|aka)\s+"
+    r"([a-z][a-z0-9'\-]*(?:[ ][a-z][a-z0-9'\-]*)?)"
+)
+
+
+def extract_reflexion_mentions(text: str, already: list[dict] | None = None) -> list[dict]:
+    """E2 — deterministic replacement for the reference's reflexion retry
+    (node_operations.py:62-82: after extraction an LLM is asked which
+    entities were MISSED and the answers are appended; default-off via
+    MAX_REFLEXION_ITERATIONS=0). Here the 'missed entities' critic is a
+    second pattern family: lowercase names introduced by a naming cue,
+    which MENTION_RE (capitalized sequences) provably cannot match.
+    Candidates containing any stop token are rejected ("named after the
+    war" never becomes an entity), and names already found by the first
+    pass (case-insensitively) are skipped — the reference also dedupes the
+    reflexion output against the found-entity list. One pass is a fixpoint:
+    the rule is deterministic, so further iterations add nothing."""
+    seen = {m["name"].lower() for m in (already or [])}
+    out: list[dict] = []
+    for h in _REFLEXION_CUE.finditer(text):
+        name = h.group(1).rstrip("-")
+        toks = name.split()
+        if not toks or any(t in _STOP_MENTIONS for t in toks):
+            continue
+        if name.lower() in seen:
+            continue
+        seen.add(name.lower())
+        out.append(
+            {"name": name, "entity_type": classify_mention(name), "start": h.start(1)}
+        )
+    return out
+
+
+def extract_mentions_with_reflexion(text: str) -> list[dict]:
+    """First-pass mentions + the E2 reflexion second pass, in reading
+    order within each pass (reference appends missed entities after the
+    initial extraction)."""
+    first = extract_mentions(text)
+    return first + extract_reflexion_mentions(text, first)
+
+
+# ---------------------------------------------------------------------------
 # E3 — open triple extraction with temporal attribute resolution
 # ---------------------------------------------------------------------------
 

@@ -109,7 +109,9 @@ def extract_triples_df(episodes_df):
 # Python exactly once
 
 
-def extract_all_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def extract_all_map(
+    batches: Iterator[pd.DataFrame], mention_fn=extract_mentions
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         cols = {
             k: []
@@ -131,7 +133,7 @@ def extract_all_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pdf["episode_uuid"], pdf["group_id"], pdf["ep_valid_at"], pdf["content"]
         ):
             text = content or ""
-            for idx, m in enumerate(extract_mentions(text)):
+            for idx, m in enumerate(mention_fn(text)):
                 base("m", ep_uuid, group, ts)
                 cols["name"].append(m["name"])
                 cols["entity_type"].append(m["entity_type"])
@@ -162,9 +164,21 @@ def extract_all_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-def extract_all_df(episodes_df):
+def extract_all_df(episodes_df, reflexion: bool = False):
+    """Fused one-scan extraction; `reflexion=True` adds the E2 second-pass
+    mention family (extraction.extract_mentions_with_reflexion) — opt-in,
+    mirroring the reference's MAX_REFLEXION_ITERATIONS=0 default-off."""
+    from functools import partial
+
+    from graphiti_spark.extraction import extract_mentions_with_reflexion
+
+    fn = (
+        partial(extract_all_map, mention_fn=extract_mentions_with_reflexion)
+        if reflexion
+        else extract_all_map
+    )
     cols = ["episode_uuid", "group_id", "ep_valid_at", "content"]
-    return episodes_df.select(*cols).mapInPandas(extract_all_map, schema=schemas.RAW_EXTRACTION)
+    return episodes_df.select(*cols).mapInPandas(fn, schema=schemas.RAW_EXTRACTION)
 
 
 def split_extraction(raw_all):

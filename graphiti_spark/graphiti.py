@@ -215,8 +215,20 @@ class GraphitiSpark:
         self.store.merge_upsert("nodes", result["nodes"], array_merge_cols=("aliases",))
         self.store.merge_upsert("edges", result["edges"], array_merge_cols=("episodes",))
         self.store.merge_upsert("mentions", result["mentions"])
+        self.store.merge_upsert("duplicate_pairs", result["duplicate_pairs"])
         result["release"]()
         return result
+
+    def get_duplicate_pairs(self, group_ids: list[str] | None = None) -> DataFrame:
+        """The accumulated IS_DUPLICATE_OF provenance table (ref
+        edge_operations.py:609-670): which raw names folded into which
+        canonical entity, across every ingested batch."""
+        from graphiti_spark.schemas import DUPLICATE_PAIRS
+
+        if not self.store.exists("duplicate_pairs"):
+            return self.spark.createDataFrame([], schema=DUPLICATE_PAIRS)
+        df = self.store.read("duplicate_pairs")
+        return df.filter(F.col("group_id").isin(group_ids)) if group_ids else df
 
     def add_triplet(
         self,

@@ -310,6 +310,66 @@ def resolve_names(
     )
 
 
+def duplicate_pair_edges(resolution: DataFrame, now=None) -> DataFrame:
+    """IS_DUPLICATE_OF provenance pairs (ref edge_operations.py:609-670,
+    the duplicate-pair writes of node_db_queries): one row per resolution
+    key whose pre-canonical id lost to a different canonical —
+    (duplicate pre_id) -[IS_DUPLICATE_OF]-> (canonical uuid) — so a
+    reference user can query which raw names folded into which entity
+    instead of reading the canonical node's `aliases` array.
+
+    Filter-existing semantics on incremental runs come for free: with
+    `existing_nodes`, `resolution` covers only the NEW batch's keys, so
+    pairs are new->new or new->existing, never existing->existing (the
+    reference also only writes pairs for the episode's extracted nodes).
+
+    `canonical_name` mirrors build_canonical_nodes' norm_name (min
+    norm_exact over the component's resolution rows; for a new->existing
+    pair that is the min over the batch's names resolving there, the
+    established node's own name being already on the nodes table).
+
+    100 TB posture: input is the distinct-keys resolution table (orders of
+    magnitude below |mentions|); one groupBy + equi-join on canonical_id,
+    no collect, no new shuffles beyond the small aggregation."""
+    keyed = resolution.withColumn(
+        "pre_id", det_id_col(F.lit("node"), F.col("group_id"), F.col("norm_exact"))
+    )
+    canon_names = keyed.groupBy("canonical_id").agg(
+        F.min("norm_exact").alias("canonical_name")
+    )
+    # the canonical row's OWN key name (null when the canonical is an
+    # existing node from a prior batch — its name lives on the nodes table)
+    canon_keys = keyed.select(
+        F.col("pre_id").alias("canonical_id"),
+        F.col("norm_exact").alias("canonical_key_name"),
+    )
+    out = (
+        keyed.filter(F.col("pre_id") != F.col("canonical_id"))
+        .join(canon_names, on="canonical_id")
+        .join(canon_keys, on="canonical_id", how="left")
+        .select(
+            det_id_col(
+                F.lit("dupedge"),
+                F.col("group_id"),
+                F.col("pre_id"),
+                F.col("canonical_id"),
+            ).alias("uuid"),
+            "group_id",
+            F.col("pre_id").alias("source_node_uuid"),
+            F.col("canonical_id").alias("target_node_uuid"),
+            F.lit("IS_DUPLICATE_OF").alias("name"),
+            F.col("norm_exact").alias("duplicate_name"),
+            "canonical_name",
+            "canonical_key_name",
+        )
+    )
+    if now is not None:
+        out = out.withColumn("created_at", F.lit(now).cast("timestamp"))
+    else:
+        out = out.withColumn("created_at", F.lit(None).cast("timestamp"))
+    return out
+
+
 def build_canonical_nodes(resolution: DataFrame, raw_mentions: DataFrame) -> DataFrame:
     """canonical_nodes(uuid, name, group_id, labels, created_at, norm_name,
     aliases, summary, attributes) — one row per canonical entity; norm_name

@@ -109,6 +109,7 @@ def run_pipeline(
     with_embeddings: bool = True,
     existing_nodes: DataFrame | None = None,
     registry=None,
+    reflexion: bool = False,
 ) -> dict:
     """Full batch ingest. Returns dict with episodes/nodes/edges/mentions
     DataFrames plus per-stage metrics.
@@ -125,7 +126,9 @@ def run_pipeline(
         in_files = ",".join(sorted(pages.inputFiles()))
     except Exception:
         in_files = "inline"
-    in_fp = f"{in_files}"
+    # the reflexion flag changes extraction output, so it is part of the
+    # stage fingerprint (a durable checkpoint from the other mode must miss)
+    in_fp = f"{in_files}:rfx{int(reflexion)}"
 
     # episodes stay lazy: the fused extraction scans them exactly once, so
     # there is nothing to share; callers materialize on demand
@@ -133,7 +136,12 @@ def run_pipeline(
 
     # one pass over the corpus produces mentions AND triples (kind-tagged),
     # halving the Python/Arrow transfer of page content
-    raw_all = runner.run("extraction", in_fp, lambda: extract_all_df(episodes))
+    # E2 reflexion (opt-in, ref node_operations.py:62-82 — default-off via
+    # MAX_REFLEXION_ITERATIONS=0): adds the deterministic second-pass
+    # mention family inside the same fused scan, zero extra jobs
+    raw_all = runner.run(
+        "extraction", in_fp, lambda: extract_all_df(episodes, reflexion=reflexion)
+    )
     raw_mentions, raw_triples = split_extraction(raw_all)
 
     # D1-D14 global canonicalization
@@ -327,12 +335,17 @@ def run_pipeline(
         "entity_edges", F.coalesce(F.col("entity_edges"), F.array().cast("array<string>"))
     )
 
+    from graphiti_spark.operators.node_dedup import duplicate_pair_edges
+
     return {
         "episodes_with_edges": episodes_out,
         "episodes": episodes,
         "raw_mentions": raw_mentions,
         "raw_triples": raw_triples,
         "name_resolution": name_resolution,
+        # lazy derivation of the materialized resolution table — consumed
+        # by callers that persist the IS_DUPLICATE_OF provenance
+        "duplicate_pairs": duplicate_pair_edges(name_resolution, now=now),
         "nodes": nodes,
         "edges": edges,
         "mentions": mentions,

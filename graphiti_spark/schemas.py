@@ -106,6 +106,22 @@ COMMUNITY_MEMBERS = StructType(
     ]
 )
 
+# IS_DUPLICATE_OF provenance pairs (ref edge_operations.py:609-670):
+# duplicate pre-canonical node -> canonical node, written per batch
+DUPLICATE_PAIRS = StructType(
+    [
+        StructField("uuid", StringType(), False),
+        StructField("group_id", StringType(), False),
+        StructField("source_node_uuid", StringType(), False),  # duplicate
+        StructField("target_node_uuid", StringType(), False),  # canonical
+        StructField("name", StringType(), False),  # IS_DUPLICATE_OF
+        StructField("duplicate_name", StringType(), False),
+        StructField("canonical_name", StringType(), False),
+        StructField("canonical_key_name", StringType(), True),
+        StructField("created_at", TimestampType(), True),
+    ]
+)
+
 # every table a graph store materializes (GraphitiSpark.build_indices_and
 # _constraints iterates this to issue CREATE TABLE DDL on catalog stores)
 STORE_TABLES: dict[str, StructType] = {
@@ -115,6 +131,7 @@ STORE_TABLES: dict[str, StructType] = {
     "mentions": MENTIONS,
     "communities": COMMUNITIES,
     "community_members": COMMUNITY_MEMBERS,
+    "duplicate_pairs": DUPLICATE_PAIRS,
 }
 
 # intermediate: one row per extracted mention (pre-resolution)

@@ -41,7 +41,19 @@ class ParquetStore:
 
     def read(self, table: str) -> DataFrame:
         self.recover(table)
-        return self.spark.read.parquet(self.path(table))
+        try:
+            return self.spark.read.parquet(self.path(table))
+        except Exception:
+            # a partitioned write of an EMPTY frame leaves a directory with
+            # no data files (only _SUCCESS), which defeats schema inference
+            # — possible for tables that can legitimately be empty on a
+            # batch (e.g. duplicate_pairs when nothing deduped). Fall back
+            # to the canonical empty frame for known tables.
+            from graphiti_spark.schemas import STORE_TABLES
+
+            if table in STORE_TABLES:
+                return self.spark.createDataFrame([], schema=STORE_TABLES[table])
+            raise
 
     def recover(self, table: str) -> None:
         """Crash recovery for merge_upsert's two commit protocols.
