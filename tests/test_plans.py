@@ -46,6 +46,32 @@ def test_column_pruning_drops_html_when_text_only(spark, pages_path):
     assert "html" not in read_schema, f"html must be pruned: {read_schema}"
 
 
+def test_distributed_fuzzy_band_join_no_cartesian(spark, pages_path):
+    """The distributed LSH leg (what runs at 100x) must pair names through
+    the (group, band_pos, band_key) equi-join — a plan regression to a
+    cartesian/nested-loop would be quadratic in distinct names."""
+    from graphiti_spark.functions.udfs import extract_mentions_df
+    from graphiti_spark.operators.node_dedup import fuzzy_duplicate_pairs, name_keys
+
+    pages = spark.read.parquet(pages_path)
+    keys = name_keys(extract_mentions_df(pages_to_episodes(pages)))
+    pairs = fuzzy_duplicate_pairs(keys, driver_threshold=0)  # force distributed
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_duplicate_pair_edges_no_cartesian(spark, pages_path):
+    """The IS_DUPLICATE_OF derivation joins the resolution table to its own
+    small aggregations on canonical_id — equi-joins only."""
+    from graphiti_spark.operators.node_dedup import duplicate_pair_edges
+
+    pages = spark.read.parquet(pages_path)
+    res = run_pipeline(spark, pages, now=NOW, with_embeddings=False)
+    plan = _plan(duplicate_pair_edges(res["name_resolution"], now=NOW))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pointer_rewrite_uses_broadcast(spark, pages_path):
     pages = spark.read.parquet(pages_path)
     res = run_pipeline(spark, pages, now=NOW, with_embeddings=False)
